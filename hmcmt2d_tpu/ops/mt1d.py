@@ -73,7 +73,7 @@ def _clamped_exp(x):
     return jnp.exp(re + 1j * jnp.imag(x))
 
 
-def analytic_field(omega, sigma, dz, with_h: bool = False):
+def analytic_field(omega, sigma, dz, with_h: bool = False, dtype=None):
     """Up/down-going propagation of E (and optionally H) to every interface.
 
     TPU-native equivalent of ``mt1DAnalyticField`` (mt1DField.jl:23-98):
@@ -96,6 +96,13 @@ def analytic_field(omega, sigma, dz, with_h: bool = False):
     e : (..., n+1) total E at each interface (top included), e[..., 0] == 1.
     h : (..., n+1) total H if ``with_h`` (mt1DField.jl:87-93).
     """
+    if dtype is not None:
+        # run the whole propagation in the requested complex dtype (TPU has
+        # no complex128, so the production path casts to complex64 here)
+        rdt = jnp.real(jnp.zeros((), dtype)).dtype
+        omega = jnp.asarray(omega, rdt)
+        sigma = jnp.asarray(sigma, rdt)
+        dz = jnp.asarray(dz, rdt)
     omega = jnp.asarray(omega)
     # omega may carry a trailing singleton standing in for the layer axis
     # (so it can broadcast against (..., n) inputs); strip it for
