@@ -267,9 +267,15 @@ class ForwardOperator:
     rx: RxInterp
     cfg: SolveConfig
 
-    def mode_impedance(self, sigma2d: jax.Array, mode: str) -> jax.Array:
-        """Impedance Zxy (TE) or Zyx (TM) at (nfreq, nrx)."""
-        omegas = 2.0 * jnp.pi * jnp.asarray(self.data.freqs, sigma2d.dtype)
+    def mode_impedance(self, sigma2d: jax.Array, mode: str, freqs=None) -> jax.Array:
+        """Impedance Zxy (TE) or Zyx (TM) at (nfreq, nrx).
+
+        ``freqs`` may override the survey frequencies with a traced array —
+        used by the frequency-sharded SPMD path where each device solves its
+        own frequency shard.
+        """
+        freqs = self.data.freqs if freqs is None else freqs
+        omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
         if mode == "TE":
             st = M.te_stencil(self.mesh, sigma2d)
         else:
@@ -282,14 +288,15 @@ class ForwardOperator:
             E, H = rx_fields_tm(omegas, self.mesh, sigma2d, fields, self.rx)
         return E / H
 
-    def response_cube(self, sigma2d: jax.Array) -> jax.Array:
+    def response_cube(self, sigma2d: jax.Array, freqs=None) -> jax.Array:
         """(nfreq, nrx, ncomp) response cube in data_comp order."""
-        omegas = 2.0 * jnp.pi * jnp.asarray(self.data.freqs, sigma2d.dtype)
+        freqs = self.data.freqs if freqs is None else freqs
+        omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
         Z = {}
         if self.data.comp_te:
-            Z["XY"] = self.mode_impedance(sigma2d, "TE")
+            Z["XY"] = self.mode_impedance(sigma2d, "TE", freqs)
         if self.data.comp_tm:
-            Z["YX"] = self.mode_impedance(sigma2d, "TM")
+            Z["YX"] = self.mode_impedance(sigma2d, "TM", freqs)
         comps = []
         for name in self.data.data_comp:
             pol = "XY" if name.endswith("XY") else "YX"

@@ -1,0 +1,244 @@
+"""Hamiltonian Monte Carlo sampler — fully jitted, chains batched.
+
+TPU-native redesign of the reference sampler (HMCMT/src/HMCSampler/
+HMCSampler.jl).  The whole chain — leapfrog proposals with the reference's
+quirks (random integer trajectory length, position-step clipping, reflective
+bounds, truncated-normal momentum, full momentum refresh each iteration,
+MH accept) — is one ``lax.scan`` over samples with all chains advanced
+simultaneously as a batch dimension (the reference runs one chain per Julia
+process, parallelHMC.jl).
+
+Differences from the reference, chosen deliberately:
+
+* the trajectory length L is drawn once per iteration and *shared by all
+  chains* (a ``lax.switch`` then executes exactly L leapfrog steps; a
+  per-chain L would force every chain to pad to the maximum).  Each chain
+  still sees L ~ U{lo..hi} i.i.d. across iterations, so the per-chain kernel
+  is the reference's; only the across-chain correlation of L differs.
+* the gradient at the current state is carried across iterations (the
+  accepted state's last in-trajectory gradient is exactly the gradient at
+  the new current state), saving one gradient evaluation per proposal
+  (L per iteration instead of the reference's L+1, HMCSampler.jl:216,251).
+* reflective bound handling is a closed-form triangle-wave fold instead of
+  the reference's per-component loop (checkParameterBound!,
+  HMCSampler.jl:515-559) — identical result, no data-dependent loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class MassMatrix(NamedTuple):
+    """Diagonal or dense-Cholesky mass matrix (setMassMatrix,
+    HMCSampler.jl:463-489).
+
+    ``sqrt_m`` is the factor applied to the raw momentum draw, ``inv_m`` the
+    inverse mass applied in the kinetic energy/gradient.  Diagonal case:
+    1-D arrays; dense case: (P, P) lower Cholesky of M=Wm and full inverse.
+    """
+
+    sqrt_m: jax.Array
+    inv_m: jax.Array
+    diagonal: bool = True
+
+    def draw(self, key, shape):
+        """p = sqrtM @ clip(randn, +-2.5) (getMomentumVector,
+        HMCSampler.jl:441-453)."""
+        raw = jnp.clip(jax.random.normal(key, shape), -2.5, 2.5)
+        if self.diagonal:
+            return self.sqrt_m * raw
+        return jnp.einsum("ab,...b->...a", self.sqrt_m, raw)
+
+    def apply_inv(self, p):
+        if self.diagonal:
+            return self.inv_m * p
+        return jnp.einsum("ab,...b->...a", self.inv_m, p)
+
+    def kinetic(self, p):
+        """0.5 p' M^-1 p (getKineticEnergy, HMCSampler.jl:407-415)."""
+        return 0.5 * jnp.sum(p * self.apply_inv(p), axis=-1)
+
+
+def identity_mass(n_param: int, dtype=jnp.float64) -> MassMatrix:
+    one = jnp.ones((n_param,), dtype)
+    return MassMatrix(sqrt_m=one, inv_m=one, diagonal=True)
+
+
+def dense_mass(Wm: np.ndarray) -> MassMatrix:
+    """Non-diagonal mass M = Wm via dense Cholesky (HMCSampler.jl:478-489)."""
+    L = np.linalg.cholesky(np.asarray(Wm))
+    Linv = np.linalg.inv(L)
+    return MassMatrix(sqrt_m=jnp.asarray(L), inv_m=jnp.asarray(Linv.T @ Linv),
+                      diagonal=False)
+
+
+def reflect_bounds(m, p, lo, hi):
+    """Reflect positions into [lo, hi] flipping momentum per reflection —
+    closed form of the reference's loop (HMCSampler.jl:515-559): the
+    position folds as a triangle wave; the momentum flips sign when the
+    unfolded position lies in a descending segment."""
+    width = hi - lo
+    t = jnp.mod(m - lo, 2.0 * width)
+    m_new = lo + width - jnp.abs(t - width)
+    flip = t > width
+    p_new = jnp.where(flip, -p, p)
+    return m_new, p_new
+
+
+class ChainState(NamedTuple):
+    """Per-chain carried state (all leading dim = n_chains)."""
+
+    m: jax.Array         # (C, P) current log-sigma model
+    grad: jax.Array      # (C, P) gradient of the potential at m
+    misfit: jax.Array    # (C,)
+    mnorm: jax.Array     # (C,)
+    pred: jax.Array      # (C, D) predicted data at m
+
+
+class HMCResult(NamedTuple):
+    models: jax.Array    # (S, C, P) float32 samples (current model per iter)
+    stats: jax.Array     # (S, C, 4) [misfit, mnorm, kinetic, hamiltonian]
+    accepts: jax.Array   # (S, C) bool
+    pred: jax.Array      # (S, C, D) predicted data of the current model
+    final: ChainState
+    start_stats: jax.Array  # (C, 4) initial [misfit, mnorm, ke, h]
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCOptions:
+    """Sampler controls (reference semantics; see HMCConfig for file keys)."""
+
+    dt: float
+    steps_lo: int
+    steps_hi: int
+    log_sig_lo: float
+    log_sig_hi: float
+    reg_param: float
+    max_step_size: float = 3.0  # position-step clip (HMCSampler.jl:234-243)
+
+
+def _leapfrog(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
+              state: ChainState, p0, m_ref, n_steps: int):
+    """n_steps of leapfrog (proposeLeapfrog, HMCSampler.jl:206-269).
+
+    One potential gradient per step; the initial half-kick reuses the carried
+    gradient at the current state.
+    """
+    dt = opts.dt
+    p = p0 - 0.5 * dt * state.grad
+    m = state.m
+
+    def step(carry, k):
+        m, p, _aux = carry
+        gk = mass.apply_inv(p)
+        dm = dt * gk
+        dm_max = jnp.max(jnp.abs(dm), axis=-1, keepdims=True)
+        scale = jnp.minimum(1.0, opts.max_step_size / dm_max)
+        m = m + dm * scale
+        m, p = reflect_bounds(m, p, opts.log_sig_lo, opts.log_sig_hi)
+        (U, aux), g = potential_vg(m, m_ref)
+        coeff = jnp.where(k == n_steps - 1, 0.5 * dt, dt)
+        p = p - coeff * g
+        return (m, p, (aux, g)), None
+
+    # aux placeholder with correct shapes from the current state
+    aux0 = ((state.misfit, state.mnorm, state.pred), state.grad)
+    (m, p, (aux, g)), _ = lax.scan(step, (m, p, aux0), jnp.arange(n_steps))
+    misfit, mnorm, pred = aux
+    return ChainState(m=m, grad=g, misfit=misfit, mnorm=mnorm, pred=pred), p
+
+
+def make_sample_step(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix):
+    """Build the per-iteration kernel (one MH-corrected HMC proposal)."""
+
+    n_branches = opts.steps_hi - opts.steps_lo + 1
+
+    def sample_step(state: ChainState, key, m_ref):
+        c = state.m.shape[0]
+        key_L, key_p, key_u = jax.random.split(key, 3)
+
+        p0 = mass.draw(key_p, state.m.shape)
+        ke0 = mass.kinetic(p0)
+        h0 = state.misfit + state.mnorm + ke0
+
+        # random integer trajectory length, shared across chains
+        Lidx = jax.random.randint(key_L, (), 0, n_branches)
+        branches = [partial(_leapfrog, potential_vg, opts, mass,
+                            n_steps=opts.steps_lo + i) for i in range(n_branches)]
+        prop, p1 = lax.switch(Lidx, branches, state, p0, m_ref)
+
+        ke1 = mass.kinetic(p1)
+        h1 = prop.misfit + prop.mnorm + ke1
+
+        # MH: accept if dH > 0 or u < exp(dH) (HMCSampler.jl:149-151)
+        dh = h0 - h1
+        u = jax.random.uniform(key_u, (c,))
+        accept = (dh > 0) | (u < jnp.exp(dh))
+
+        def pick(a, b):
+            return jnp.where(accept.reshape((c,) + (1,) * (a.ndim - 1)), a, b)
+
+        new = ChainState(*(pick(a, b) for a, b in zip(prop, state)))
+        stats = jnp.stack([new.misfit, new.mnorm, ke0,
+                           new.misfit + new.mnorm + ke0], axis=-1)
+        return new, accept, stats
+
+    return sample_step
+
+
+def sample_chain_init(potential_vg: Callable, m0: jax.Array, m_ref: jax.Array):
+    """Evaluate potential+gradient at the start model -> initial ChainState."""
+    (U, (misfit, mnorm, pred)), g = potential_vg(m0, m_ref)
+    return ChainState(m=m0, grad=g, misfit=misfit, mnorm=mnorm, pred=pred)
+
+
+def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
+            m0: jax.Array, m_ref: jax.Array, n_samples: int, key,
+            sample_dtype=jnp.float32) -> HMCResult:
+    """Run ``n_samples`` HMC iterations for a batch of chains.
+
+    potential_vg(m (C,P), m_ref (C,P)) -> ((U, (misfit, mnorm, pred)), grad)
+    must be the *batched* potential value-and-grad (chains leading).
+
+    The loop is a single ``lax.scan`` (jit-compiled once); outputs mirror the
+    reference's per-iteration records (runHMCSampler, HMCSampler.jl:118-192).
+    """
+    state = sample_chain_init(potential_vg, m0, m_ref)
+    step = make_sample_step(potential_vg, opts, mass)
+
+    ke_init = mass.kinetic(mass.draw(jax.random.fold_in(key, 0), m0.shape))
+    start_stats = jnp.stack([state.misfit, state.mnorm, ke_init,
+                             state.misfit + state.mnorm + ke_init], axis=-1)
+
+    keys = jax.random.split(jax.random.fold_in(key, 1), n_samples)
+
+    def body(state, k):
+        new, accept, stats = step(state, k, m_ref)
+        out = (new.m.astype(sample_dtype), stats, accept,
+               new.pred.astype(jnp.complex64 if jnp.iscomplexobj(new.pred) else jnp.float32))
+        return new, out
+
+    final, (models, stats, accepts, pred) = lax.scan(body, state, keys)
+    return HMCResult(models=models, stats=stats, accepts=accepts, pred=pred,
+                     final=final, start_stats=start_stats)
+
+
+def random_homogeneous_start(key, m0_file: np.ndarray, n_chains: int):
+    """Per-chain randomised homogeneous start model: rho_ref ~ round(U(0.5,
+    1.5)*rho0) with rho0 from the file's start model (HMCSampler.jl:99-110).
+
+    Returns (C, P) start models (= reference models, HMCSampler.jl:108-109).
+    """
+    rho0 = 1.0 / np.exp(float(np.asarray(m0_file)[0]))
+    u = jax.random.uniform(key, (n_chains,), minval=0.5 * rho0, maxval=1.5 * rho0)
+    rho_ref = jnp.round(u)
+    m = jnp.log(1.0 / rho_ref)
+    return jnp.broadcast_to(m[:, None], (n_chains, len(m0_file)))

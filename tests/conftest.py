@@ -18,10 +18,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
-# persistent compile cache: the forward/gradient graphs are large and
-# recompile identically across test runs
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do not enable jax_compilation_cache_dir here — in this environment
+# CPU AOT cache entries are compiled with mismatched machine features and
+# reload with SIGILL-risk warnings.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

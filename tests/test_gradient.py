@@ -1,0 +1,113 @@
+"""Adjoint gradients and Jacobians vs. finite differences.
+
+The gradient is the engine of HMC — these are the most important tests in
+the suite (mirrors the reference's sensitivity-test usage of compJacMat).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hmcmt2d_tpu import mesh as M
+from hmcmt2d_tpu.constants import SIGMA_AIR
+from hmcmt2d_tpu.models import forward as F
+from hmcmt2d_tpu.models import jacobian as J
+from hmcmt2d_tpu.models.posterior import build_inverse_problem
+from tests.test_forward import make_data
+
+
+def tiny_problem(comps=("ZXY", "ZYX"), data_type="Impedance", nfreq=2):
+    """A small but genuinely 2-D inverse problem."""
+    rng = np.random.default_rng(0)
+    air = np.array([200.0, 1000.0, 5000.0, 30000.0])
+    dz_earth = np.concatenate([np.full(4, 150.0), 150 * 1.8 ** np.arange(1, 8)])
+    dy = np.concatenate([[30000, 4000], np.full(8, 700.0), [4000, 30000]])
+    mesh = M.make_mesh(dy, np.concatenate([air[::-1], dz_earth]), air_layer=air,
+                       origin=[34000 + 4 * 700, air.sum()])
+    nz, ny, nair = mesh.nz, mesh.ny, mesh.n_air
+    sigma2d = np.full((nz, ny), 0.02)
+    sigma2d[:nair] = SIGMA_AIR
+    sigma2d[nair + 2:nair + 5, 4:8] = 0.2  # anomaly
+    rx_loc = np.stack([np.linspace(500, 4000, 4), np.zeros(4)], axis=1)
+    freqs = np.logspace(1, 0, nfreq)
+    data = make_data(rx_loc, freqs, comps=comps, data_type=data_type)
+
+    fwd = F.make_forward(mesh, data, F.SolveConfig(jnp.complex128, 0))
+    obs = np.asarray(fwd.predict(jnp.asarray(sigma2d)))
+    obs = obs + 0.03 * np.abs(obs) * (rng.standard_normal(obs.shape)
+                                      + (1j * rng.standard_normal(obs.shape) if np.iscomplexobj(obs) else 0))
+    err = 0.03 * np.abs(obs)
+    prob, m0 = build_inverse_problem(mesh, data, obs, err, sigma2d.ravel(),
+                                     cfg=F.SolveConfig(jnp.complex128, 0))
+    return prob, np.asarray(m0)
+
+
+def test_potential_gradient_vs_fd():
+    prob, m0 = tiny_problem()
+    m_ref = jnp.asarray(m0)
+    reg = 0.7
+    m = jnp.asarray(m0 + 0.05 * np.random.default_rng(1).standard_normal(len(m0)))
+
+    (U, aux), g = prob.potential_value_and_grad(m, m_ref, reg)
+    g = np.asarray(g)
+    assert np.all(np.isfinite(g))
+
+    rng = np.random.default_rng(2)
+    eps = 1e-6
+    idxs = rng.choice(len(m0), size=8, replace=False)
+    for i in idxs:
+        dm = np.zeros(len(m0))
+        dm[i] = eps
+        Up, _ = prob.potential(m + jnp.asarray(dm), m_ref, reg)
+        Um, _ = prob.potential(m - jnp.asarray(dm), m_ref, reg)
+        fd = (float(Up) - float(Um)) / (2 * eps)
+        # central-difference truncation limits agreement to ~1e-4 relative
+        np.testing.assert_allclose(g[i], fd, rtol=2e-4, atol=1e-9)
+
+
+def test_gradient_directional_vs_fd():
+    """Full-vector directional derivative (catches errors FD-per-component
+    might miss in correlated terms)."""
+    prob, m0 = tiny_problem(comps=("RhoXY", "PhsXY"), data_type="Rho_Pha", nfreq=1)
+    m_ref = jnp.asarray(m0)
+    m = jnp.asarray(m0)
+    (U, _), g = prob.potential_value_and_grad(m, m_ref, 0.0)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(len(m0))
+    v /= np.linalg.norm(v)
+    eps = 1e-6
+    Up, _ = prob.potential(m + eps * jnp.asarray(v), m_ref, 0.0)
+    Um, _ = prob.potential(m - eps * jnp.asarray(v), m_ref, 0.0)
+    fd = (float(Up) - float(Um)) / (2 * eps)
+    np.testing.assert_allclose(float(np.asarray(g) @ v), fd, rtol=1e-6)
+
+
+def test_jacobian_products_consistent():
+    prob, m0 = tiny_problem(nfreq=1)
+    m = jnp.asarray(m0)
+    rng = np.random.default_rng(4)
+    n_real = 2 * prob.obs.shape[0]
+    v = jnp.asarray(rng.standard_normal(len(m0)))
+    w = jnp.asarray(rng.standard_normal(n_real))
+    Jv = np.asarray(J.jv(prob, m, v))
+    Jtw = np.asarray(J.jtv(prob, m, w))
+    assert Jv.shape == (n_real,)
+    assert Jtw.shape == (len(m0),)
+    # <w, Jv> == <J'w, v>
+    np.testing.assert_allclose(float(np.asarray(w) @ Jv), float(Jtw @ np.asarray(v)), rtol=1e-9)
+
+
+def test_full_jacobian_vs_fd_columns():
+    prob, m0 = tiny_problem(nfreq=1)
+    m = jnp.asarray(m0)
+    Jfull = np.asarray(J.full_jacobian(prob, m))
+    rng = np.random.default_rng(5)
+    eps = 1e-6
+    for i in rng.choice(len(m0), size=4, replace=False):
+        dm = np.zeros(len(m0))
+        dm[i] = eps
+        fp = np.asarray(J.real_predict(prob, m + jnp.asarray(dm)))
+        fm = np.asarray(J.real_predict(prob, m - jnp.asarray(dm)))
+        fd = (fp - fm) / (2 * eps)
+        np.testing.assert_allclose(Jfull[:, i], fd, rtol=5e-5,
+                                   atol=1e-8 * np.abs(fd).max() + 1e-14)

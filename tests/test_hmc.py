@@ -1,0 +1,115 @@
+"""HMC sampler: statistical correctness on known targets + machinery tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hmcmt2d_tpu.sampler import hmc as H
+
+
+def gaussian_potential_vg(mu, var):
+    """Batched potential for independent Gaussians: U = 0.5 sum (m-mu)^2/var."""
+    mu = jnp.asarray(mu)
+    var = jnp.asarray(var)
+
+    def single(m, m_ref):
+        u = 0.5 * jnp.sum((m - mu) ** 2 / var)
+        pred = jnp.zeros((1,))
+        return u, (u, jnp.zeros(()), pred)
+
+    def vg(m, m_ref):
+        (U, aux), g = jax.vmap(jax.value_and_grad(single, has_aux=True))(m, m_ref)
+        return (U, aux), g
+
+    return vg
+
+
+def test_gaussian_target_moments():
+    """Sample a 4-D Gaussian with 8 chains; mean/std must match within MC error."""
+    mu = np.array([1.0, -2.0, 0.5, 3.0])
+    sd = np.array([0.5, 1.0, 2.0, 0.25])
+    vg = gaussian_potential_vg(mu, sd**2)
+    opts = H.HMCOptions(dt=0.25, steps_lo=6, steps_hi=10,
+                        log_sig_lo=-50.0, log_sig_hi=50.0, reg_param=0.0)
+    C, P, S = 8, 4, 1500
+    mass = H.identity_mass(P)
+    m0 = jnp.zeros((C, P))
+    res = jax.jit(lambda k: H.run_hmc(vg, opts, mass, m0, m0, S, k))(
+        jax.random.PRNGKey(0))
+    accept_rate = float(jnp.mean(res.accepts))
+    assert 0.3 < accept_rate < 1.0, accept_rate
+    samples = np.asarray(res.models[300:]).reshape(-1, P)  # burn-in 300
+    n_eff_floor = 200  # conservative
+    tol = 4.0 / np.sqrt(n_eff_floor)
+    z = np.abs(samples.mean(0) - mu) / sd
+    assert np.all(z < tol), (samples.mean(0), mu, z)
+    np.testing.assert_allclose(samples.std(0), sd, rtol=0.25)
+
+
+def test_reflection_keeps_samples_in_bounds():
+    mu = np.zeros(3)
+    vg = gaussian_potential_vg(mu, np.ones(3))
+    lo, hi = -0.5, 0.8
+    opts = H.HMCOptions(dt=0.3, steps_lo=4, steps_hi=6,
+                        log_sig_lo=lo, log_sig_hi=hi, reg_param=0.0)
+    mass = H.identity_mass(3)
+    m0 = jnp.zeros((4, 3))
+    res = H.run_hmc(vg, opts, mass, m0, m0, 200, jax.random.PRNGKey(1))
+    s = np.asarray(res.models)
+    assert s.min() >= lo - 1e-6 and s.max() <= hi + 1e-6
+    # truncated distribution still explores the full interval
+    assert s.max() > 0.6 * hi and s.min() < 0.6 * lo
+
+
+def test_reflect_bounds_matches_iterative():
+    """Closed-form fold == the reference's loop (checkParameterBound!)."""
+    rng = np.random.default_rng(0)
+    lo, hi = -2.0, 1.0
+    m = rng.uniform(-12, 12, size=200)
+    p = rng.standard_normal(200)
+
+    def iterative(mk, pk):
+        it = 0
+        while not (lo <= mk <= hi):
+            if mk < lo:
+                mk = 2 * lo - mk
+                pk = -pk
+            if mk > hi:
+                mk = 2 * hi - mk
+                pk = -pk
+            it += 1
+            assert it < 1000
+        return mk, pk
+
+    want = np.array([iterative(mk, pk) for mk, pk in zip(m, p)])
+    got_m, got_p = H.reflect_bounds(jnp.asarray(m), jnp.asarray(p), lo, hi)
+    np.testing.assert_allclose(np.asarray(got_m), want[:, 0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_p), want[:, 1], atol=1e-12)
+
+
+def test_dense_mass_matrix():
+    """Non-diagonal mass: momentum covariance must equal M = Wm."""
+    rng = np.random.default_rng(2)
+    A = rng.standard_normal((3, 3))
+    Wm = A @ A.T + 3 * np.eye(3)
+    mass = H.dense_mass(Wm)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4000)
+    draws = np.asarray(jax.vmap(lambda k: mass.draw(k, (3,)))(keys))
+    cov = np.cov(draws.T)
+    # clipping at 2.5 shrinks the covariance slightly (~2%)
+    np.testing.assert_allclose(cov, Wm, rtol=0.15, atol=0.1 * np.abs(Wm).max())
+    # kinetic gradient consistency: d/dp (0.5 p' Minv p) = Minv p
+    p = jnp.asarray(rng.standard_normal(3))
+    g = jax.grad(lambda pp: mass.kinetic(pp))(p)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(mass.apply_inv(p)), rtol=1e-10)
+
+
+def test_random_homogeneous_start():
+    m0_file = np.log(np.full(10, 1.0 / 100.0))  # 100 Ohm.m
+    starts = np.asarray(H.random_homogeneous_start(jax.random.PRNGKey(4), m0_file, 64))
+    rhos = 1.0 / np.exp(starts[:, 0])
+    np.testing.assert_allclose(rhos, np.round(rhos), atol=1e-9)  # integer rho
+    assert rhos.min() >= 50 - 1e-9 and rhos.max() <= 150 + 1e-9
+    assert len(np.unique(rhos)) > 10
+    # each chain's model is homogeneous
+    assert np.all(starts == starts[:, :1])
