@@ -38,6 +38,8 @@ class HMCConfig:
     # TPU-native extensions (defaults preserve reference behaviour)
     n_chains: int = 1
     seed: int = 0
+    adapt: bool = False            # dual-averaging + mass warmup over burnin
+    target_accept: float = 0.8
 
     @property
     def max_steps(self) -> int:
@@ -83,6 +85,10 @@ def parse_startup(path) -> tuple[HMCConfig, str, str]:
                 cfg.n_chains = int(toks[-1])
             elif "seed:" in line:        # extension: PRNG seed
                 cfg.seed = int(toks[-1])
+            elif "targetaccept:" in line:  # extension: warmup target accept
+                cfg.target_accept = float(toks[-1])
+            elif "adapt:" in line:       # extension: warmup adaptation on/off
+                cfg.adapt = toks[-1].lower() in ("1", "true", "yes", "on")
     cfg.sig_fix = tuple(sig_fix)
     if datafile is None or modelfile is None:
         raise ValueError(f"startup file {path} must name datafile: and modelfile:")

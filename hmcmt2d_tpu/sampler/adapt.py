@@ -1,0 +1,190 @@
+"""Warmup adaptation: dual-averaging step size + diagonal mass estimation.
+
+The reference runs HMC with a fixed user-chosen step size and an identity (or
+``Wm``-Cholesky) mass matrix (HMCSampler.jl:81-91, setMassMatrix,
+HMCSampler.jl:463-489) — tuning ``timeinterval`` is left to the user.  This
+module adds the modern warmup the TPU rebuild mandates: Nesterov
+dual-averaging of log step size toward a target acceptance (Hoffman & Gelman
+2014, Algorithm 5) and windowed diagonal mass-matrix estimation from the
+warmup draws (Stan's expanding slow windows with Welford-style accumulation
+and shrinkage toward unit mass).
+
+Everything is one ``lax.scan`` over warmup iterations — step size, mass and
+window bookkeeping are carried arrays, the boolean window-end schedule is a
+precomputed constant — so the adapter compiles exactly one leapfrog body and
+runs entirely on device.  All chains in the batch are pooled for both the
+acceptance statistic and the variance estimate; pass ``pool_axis`` to also
+pool across a sharded chains mesh axis with ``lax.pmean``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .hmc import ChainState, HMCOptions, HMCResult, MassMatrix, make_sample_step, sample_chain_init
+
+
+@dataclasses.dataclass(frozen=True)
+class WarmupOptions:
+    """Dual-averaging and window-schedule controls (Stan defaults)."""
+
+    target_accept: float = 0.8
+    gamma: float = 0.05
+    t0: float = 10.0
+    kappa: float = 0.75
+    init_buffer: int = 75    # iterations before the first mass window
+    term_buffer: int = 50    # step-size-only iterations at the end
+    base_window: int = 25    # first mass window length (doubles each window)
+    adapt_mass: bool = True
+
+
+def window_schedule(n_warmup: int, w: WarmupOptions) -> np.ndarray:
+    """Boolean array marking the last iteration of each mass window.
+
+    Stan's schedule: ``init_buffer`` fast iterations, then doubling slow
+    windows, then ``term_buffer`` fast iterations.  For short warmups the
+    buffers are shrunk proportionally (as Stan does).
+    """
+    ends = np.zeros(n_warmup, bool)
+    init_b, term_b, base = w.init_buffer, w.term_buffer, w.base_window
+    if n_warmup < init_b + term_b + base:
+        scale = n_warmup / (init_b + term_b + base)
+        init_b = max(1, int(init_b * scale))
+        term_b = max(1, int(term_b * scale))
+        base = max(2, n_warmup - init_b - term_b)
+    pos = init_b
+    size = base
+    last = n_warmup - term_b
+    while pos < last:
+        end = pos + size
+        # if the next (doubled) window would not fit, absorb the remainder
+        if end + 2 * size > last:
+            end = last
+        ends[min(end, last) - 1] = True
+        pos = end
+        size *= 2
+    return ends
+
+
+class _DualAvg(NamedTuple):
+    log_eps: jax.Array
+    log_eps_avg: jax.Array
+    h_avg: jax.Array
+    t: jax.Array
+    mu: jax.Array
+
+
+def _da_init(dt0) -> _DualAvg:
+    log_eps = jnp.log(dt0)
+    return _DualAvg(log_eps=log_eps, log_eps_avg=log_eps,
+                    h_avg=jnp.zeros_like(log_eps), t=jnp.zeros_like(log_eps),
+                    mu=jnp.log(10.0) + log_eps)
+
+
+def _da_update(da: _DualAvg, alpha_mean, w: WarmupOptions) -> _DualAvg:
+    t = da.t + 1.0
+    eta = 1.0 / (t + w.t0)
+    h_avg = (1.0 - eta) * da.h_avg + eta * (w.target_accept - alpha_mean)
+    log_eps = da.mu - jnp.sqrt(t) / w.gamma * h_avg
+    wk = t ** (-w.kappa)
+    log_eps_avg = wk * log_eps + (1.0 - wk) * da.log_eps_avg
+    return _DualAvg(log_eps=log_eps, log_eps_avg=log_eps_avg, h_avg=h_avg,
+                    t=t, mu=da.mu)
+
+
+class WarmupInfo(NamedTuple):
+    dt: jax.Array          # adapted step size (dual-averaged)
+    inv_m: jax.Array       # (P,) adapted diagonal inverse mass (posterior var)
+    alpha_mean: jax.Array  # running mean acceptance probability
+
+
+def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
+           m_ref: jax.Array, n_warmup: int, key, w: WarmupOptions | None = None,
+           pool_axis: str | None = None, sample_dtype=jnp.float32,
+           init_state: ChainState | None = None):
+    """Adaptive warmup phase.
+
+    Returns ``(result, state, mass, info)``: per-iteration records (an
+    :class:`HMCResult`, so warmup draws appear in the output files like the
+    reference's burn-in), the final chain state, the adapted
+    :class:`MassMatrix` and a :class:`WarmupInfo` with the adapted step size.
+    """
+    w = w or WarmupOptions()
+    C, P = m0.shape
+    state = init_state if init_state is not None else sample_chain_init(
+        potential_vg, m0, m_ref)
+    step = make_sample_step(potential_vg, opts)
+
+    def pool_mean(x):
+        x = jnp.mean(x, axis=0)
+        if pool_axis is not None:
+            x = lax.pmean(x, pool_axis)
+        return x
+
+    ends = jnp.asarray(window_schedule(n_warmup, w)) if w.adapt_mass else \
+        jnp.zeros(n_warmup, bool)
+    keys = jax.random.split(jax.random.fold_in(key, 2), n_warmup)
+
+    da0 = _da_init(jnp.asarray(opts.dt, m0.dtype))
+    inv_m0 = jnp.ones((P,), m0.dtype)
+    # Welford-style window accumulators (sum / sumsq over iterations x chains)
+    acc0 = (jnp.zeros((), m0.dtype), jnp.zeros((P,), m0.dtype),
+            jnp.zeros((P,), m0.dtype))
+    alpha_acc0 = (jnp.zeros(()), jnp.zeros(()))
+
+    def body(carry, inputs):
+        state, da, inv_m, acc, alpha_acc = carry
+        k, is_end = inputs
+        mass = MassMatrix(sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
+        new, accept, stats, alpha = step(state, k, m_ref, jnp.exp(da.log_eps), mass)
+
+        alpha_mean = pool_mean(alpha)
+        da = _da_update(da, alpha_mean, w)
+
+        n, s1, s2 = acc
+        n = n + 1.0
+        s1 = s1 + pool_mean(new.m)
+        s2 = s2 + pool_mean(new.m * new.m)
+
+        def close_window(args):
+            n, s1, s2, inv_m, da = args
+            # pooled variance over the window draws of all chains
+            mean = s1 / n
+            var = jnp.maximum(s2 / n - mean * mean, 1e-12)
+            cnt = n * C
+            var_reg = (cnt / (cnt + 5.0)) * var + 1e-3 * (5.0 / (cnt + 5.0))
+            # restart dual averaging around the current step size
+            da2 = _da_init(jnp.exp(da.log_eps))
+            return (jnp.zeros_like(n), jnp.zeros_like(s1), jnp.zeros_like(s2),
+                    var_reg, da2)
+
+        n, s1, s2, inv_m, da = lax.cond(
+            is_end, close_window, lambda a: a, (n, s1, s2, inv_m, da))
+
+        an, asum = alpha_acc
+        alpha_acc = (an + 1.0, asum + alpha_mean)
+
+        out = (new.m.astype(sample_dtype), stats, accept,
+               new.pred.astype(jnp.complex64 if jnp.iscomplexobj(new.pred)
+                               else jnp.float32))
+        return (new, da, inv_m, (n, s1, s2), alpha_acc), out
+
+    (state, da, inv_m, _, (an, asum)), (models, stats, accepts, pred) = lax.scan(
+        body, (state, da0, inv_m0, acc0, alpha_acc0), (keys, ends))
+
+    dt = jnp.exp(da.log_eps_avg)
+    mass = MassMatrix(sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
+    info = WarmupInfo(dt=dt, inv_m=inv_m, alpha_mean=asum / jnp.maximum(an, 1.0))
+
+    ke = mass.kinetic(mass.draw(jax.random.fold_in(key, 3), m0.shape))
+    start_stats = jnp.stack([state.misfit, state.mnorm, ke,
+                             state.misfit + state.mnorm + ke], axis=-1)
+    result = HMCResult(models=models, stats=stats, accepts=accepts, pred=pred,
+                       final=state, start_stats=start_stats)
+    return result, state, mass, info

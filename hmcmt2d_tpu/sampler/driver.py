@@ -17,6 +17,7 @@ import numpy as np
 from ..io.startup import HMCConfig
 from ..models.forward import SolveConfig
 from ..models.posterior import InverseProblem, build_inverse_problem
+from . import adapt as A
 from . import hmc as H
 
 
@@ -83,11 +84,37 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
     mass = make_mass(problem, cfg)
     opts = hmc_options(cfg)
 
-    run = jax.jit(lambda m0, mref, k: H.run_hmc(vg, opts, mass, m0, mref,
-                                                n_samples, k))
     t0 = time.time()
-    result = run(m_start, m_ref, key_run)
-    jax.block_until_ready(result.models)
+    if cfg.adapt:
+        # warmup phase over the burn-in iterations: dual-averaging step size
+        # + diagonal mass adaptation, then a fixed-kernel main phase
+        n_warm = min(cfg.burnin, n_samples)
+        wopts = A.WarmupOptions(target_accept=cfg.target_accept)
+        key_warm, key_main = jax.random.split(key_run)
+        wrun = jax.jit(lambda m0, mref, k: A.warmup(vg, opts, m0, mref,
+                                                    n_warm, k, wopts))
+        wres, state, mass, info = wrun(m_start, m_ref, key_warm)
+        jax.block_until_ready(wres.models)
+        opts = dataclasses.replace(opts, dt=float(info.dt))
+        n_main = n_samples - n_warm
+        if n_main > 0:
+            run = jax.jit(lambda st, mref, k: H.run_hmc(
+                vg, opts, mass, st.m, mref, n_main, k, init_state=st))
+            mres = run(state, m_ref, key_main)
+            jax.block_until_ready(mres.models)
+            result = H.HMCResult(
+                models=jnp.concatenate([wres.models, mres.models]),
+                stats=jnp.concatenate([wres.stats, mres.stats]),
+                accepts=jnp.concatenate([wres.accepts, mres.accepts]),
+                pred=jnp.concatenate([wres.pred, mres.pred]),
+                final=mres.final, start_stats=wres.start_stats)
+        else:
+            result = wres
+    else:
+        run = jax.jit(lambda m0, mref, k: H.run_hmc(vg, opts, mass, m0, mref,
+                                                    n_samples, k))
+        result = run(m_start, m_ref, key_run)
+        jax.block_until_ready(result.models)
     wall = time.time() - t0
 
     return InversionRun(problem=problem, result=result, config=cfg,

@@ -27,7 +27,6 @@ Differences from the reference, chosen deliberately:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -126,17 +125,23 @@ class HMCOptions:
 
 
 def _leapfrog(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
-              state: ChainState, p0, m_ref, n_steps: int):
-    """n_steps of leapfrog (proposeLeapfrog, HMCSampler.jl:206-269).
+              state: ChainState, p0, m_ref, n_steps, dt):
+    """Leapfrog trajectory of (traced) length n_steps (proposeLeapfrog,
+    HMCSampler.jl:206-269).
 
-    One potential gradient per step; the initial half-kick reuses the carried
-    gradient at the current state.
+    One potential gradient per executed step; the initial half-kick reuses
+    the carried gradient at the current state.  The scan is compiled for the
+    static maximum ``opts.steps_hi`` steps with a scalar ``lax.cond`` skipping
+    the tail, so the expensive body (a full forward+adjoint PDE sweep) is
+    compiled exactly once and only n_steps of it execute at runtime.
+
+    ``dt`` may be a traced scalar (the warmup adapter tunes it on the fly);
+    the fixed-kernel sampler passes ``opts.dt``.
     """
-    dt = opts.dt
     p = p0 - 0.5 * dt * state.grad
     m = state.m
 
-    def step(carry, k):
+    def real_step(carry, k):
         m, p, _aux = carry
         gk = mass.apply_inv(p)
         dm = dt * gk
@@ -147,21 +152,28 @@ def _leapfrog(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
         (U, aux), g = potential_vg(m, m_ref)
         coeff = jnp.where(k == n_steps - 1, 0.5 * dt, dt)
         p = p - coeff * g
-        return (m, p, (aux, g)), None
+        return (m, p, (aux, g))
+
+    def step(carry, k):
+        carry = lax.cond(k < n_steps, real_step, lambda c, _k: c, carry, k)
+        return carry, None
 
     # aux placeholder with correct shapes from the current state
     aux0 = ((state.misfit, state.mnorm, state.pred), state.grad)
-    (m, p, (aux, g)), _ = lax.scan(step, (m, p, aux0), jnp.arange(n_steps))
+    (m, p, (aux, g)), _ = lax.scan(step, (m, p, aux0), jnp.arange(opts.steps_hi))
     misfit, mnorm, pred = aux
     return ChainState(m=m, grad=g, misfit=misfit, mnorm=mnorm, pred=pred), p
 
 
-def make_sample_step(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix):
-    """Build the per-iteration kernel (one MH-corrected HMC proposal)."""
+def make_sample_step(potential_vg: Callable, opts: HMCOptions):
+    """Build the per-iteration kernel (one MH-corrected HMC proposal).
 
-    n_branches = opts.steps_hi - opts.steps_lo + 1
+    The returned ``sample_step(state, key, m_ref, dt, mass)`` takes the step
+    size and mass matrix as (possibly traced) arguments so the warmup adapter
+    can tune them between iterations without retracing.
+    """
 
-    def sample_step(state: ChainState, key, m_ref):
+    def sample_step(state: ChainState, key, m_ref, dt, mass: MassMatrix):
         c = state.m.shape[0]
         key_L, key_p, key_u = jax.random.split(key, 3)
 
@@ -170,10 +182,8 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix)
         h0 = state.misfit + state.mnorm + ke0
 
         # random integer trajectory length, shared across chains
-        Lidx = jax.random.randint(key_L, (), 0, n_branches)
-        branches = [partial(_leapfrog, potential_vg, opts, mass,
-                            n_steps=opts.steps_lo + i) for i in range(n_branches)]
-        prop, p1 = lax.switch(Lidx, branches, state, p0, m_ref)
+        L = jax.random.randint(key_L, (), opts.steps_lo, opts.steps_hi + 1)
+        prop, p1 = _leapfrog(potential_vg, opts, mass, state, p0, m_ref, L, dt)
 
         ke1 = mass.kinetic(p1)
         h1 = prop.misfit + prop.mnorm + ke1
@@ -182,6 +192,8 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix)
         dh = h0 - h1
         u = jax.random.uniform(key_u, (c,))
         accept = (dh > 0) | (u < jnp.exp(dh))
+        # acceptance probability, used by dual-averaging step-size adaptation
+        alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0)))
 
         def pick(a, b):
             return jnp.where(accept.reshape((c,) + (1,) * (a.ndim - 1)), a, b)
@@ -189,7 +201,7 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix)
         new = ChainState(*(pick(a, b) for a, b in zip(prop, state)))
         stats = jnp.stack([new.misfit, new.mnorm, ke0,
                            new.misfit + new.mnorm + ke0], axis=-1)
-        return new, accept, stats
+        return new, accept, stats, alpha
 
     return sample_step
 
@@ -202,7 +214,7 @@ def sample_chain_init(potential_vg: Callable, m0: jax.Array, m_ref: jax.Array):
 
 def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
             m0: jax.Array, m_ref: jax.Array, n_samples: int, key,
-            sample_dtype=jnp.float32) -> HMCResult:
+            sample_dtype=jnp.float32, init_state: ChainState | None = None) -> HMCResult:
     """Run ``n_samples`` HMC iterations for a batch of chains.
 
     potential_vg(m (C,P), m_ref (C,P)) -> ((U, (misfit, mnorm, pred)), grad)
@@ -210,9 +222,12 @@ def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
 
     The loop is a single ``lax.scan`` (jit-compiled once); outputs mirror the
     reference's per-iteration records (runHMCSampler, HMCSampler.jl:118-192).
+    ``init_state`` (e.g. the warmup adapter's final state) skips the initial
+    potential evaluation at ``m0``.
     """
-    state = sample_chain_init(potential_vg, m0, m_ref)
-    step = make_sample_step(potential_vg, opts, mass)
+    state = init_state if init_state is not None else sample_chain_init(
+        potential_vg, m0, m_ref)
+    step = make_sample_step(potential_vg, opts)
 
     ke_init = mass.kinetic(mass.draw(jax.random.fold_in(key, 0), m0.shape))
     start_stats = jnp.stack([state.misfit, state.mnorm, ke_init,
@@ -221,7 +236,7 @@ def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
     keys = jax.random.split(jax.random.fold_in(key, 1), n_samples)
 
     def body(state, k):
-        new, accept, stats = step(state, k, m_ref)
+        new, accept, stats, _alpha = step(state, k, m_ref, opts.dt, mass)
         out = (new.m.astype(sample_dtype), stats, accept,
                new.pred.astype(jnp.complex64 if jnp.iscomplexobj(new.pred) else jnp.float32))
         return new, out

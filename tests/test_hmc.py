@@ -113,3 +113,51 @@ def test_random_homogeneous_start():
     assert len(np.unique(rhos)) > 10
     # each chain's model is homogeneous
     assert np.all(starts == starts[:, :1])
+
+
+def test_warmup_adaptation_gaussian():
+    """Dual-averaging must hit the target accept rate and the mass must learn
+    the per-dimension posterior scales on an anisotropic Gaussian."""
+    from hmcmt2d_tpu.sampler import adapt as A
+
+    sd = np.array([0.1, 1.0, 10.0, 0.5])
+    vg = gaussian_potential_vg(np.zeros(4), sd**2)
+    # deliberately bad initial dt; identity mass is badly scaled for sd=10
+    opts = H.HMCOptions(dt=1.5, steps_lo=4, steps_hi=8,
+                        log_sig_lo=-1e6, log_sig_hi=1e6, reg_param=0.0)
+    C = 8
+    m0 = jnp.zeros((C, 4))
+    wopts = A.WarmupOptions(target_accept=0.8)
+    wres, state, mass, info = jax.jit(
+        lambda k: A.warmup(vg, opts, m0, m0, 400, k, wopts))(jax.random.PRNGKey(0))
+
+    # mass learned: inv_m approximates the marginal variances (ordering must
+    # be right even if magnitudes are rough)
+    inv_m = np.asarray(info.inv_m)
+    assert inv_m.shape == (4,)
+    np.testing.assert_allclose(inv_m, sd**2, rtol=0.6)
+
+    # adapted step size produces near-target acceptance in a fixed-kernel run
+    opts2 = H.HMCOptions(dt=float(info.dt), steps_lo=4, steps_hi=8,
+                         log_sig_lo=-1e6, log_sig_hi=1e6, reg_param=0.0)
+    res = jax.jit(lambda k: H.run_hmc(vg, opts2, mass, state.m, m0, 300, k,
+                                      init_state=state))(jax.random.PRNGKey(1))
+    rate = float(np.asarray(res.accepts).mean())
+    assert 0.6 < rate <= 1.0, rate
+    # and samples still have the right scales
+    s = np.asarray(res.models).reshape(-1, 4)
+    np.testing.assert_allclose(s.std(0), sd, rtol=0.35)
+
+
+def test_window_schedule():
+    from hmcmt2d_tpu.sampler import adapt as A
+
+    w = A.WarmupOptions()
+    ends = A.window_schedule(1000, w)
+    idx = np.nonzero(ends)[0]
+    assert len(idx) >= 3
+    assert idx[0] + 1 >= 75           # after the init buffer
+    assert idx[-1] + 1 <= 1000 - 50   # before the term buffer
+    # short warmups still produce at least one window end
+    ends_s = A.window_schedule(60, w)
+    assert ends_s.sum() >= 1

@@ -51,19 +51,19 @@ def test_cube_potential_matches_masked(tiny_problem_shardable):
 
 
 def test_sharded_hmc_runs_and_matches_semantics(tiny_problem_shardable):
-    """8 chains on a (4 chains x 2 freq) device mesh; same-seed single-device
+    """4 chains on a (2 chains x 2 freq) device mesh; same-seed single-device
     run must agree exactly (the SPMD program is a pure re-layout)."""
     prob, m0 = tiny_problem_shardable
     cfg = HMCConfig(dt=0.05, timestep=(2, 3), sig_bounds=(1e-4, 10.0), reg_param=1.0)
     opts = hmc_options(cfg)
-    C, S = 8, 6
+    C, S = 4, 4
     mass = H.identity_mass(len(m0))
     rng = np.random.default_rng(0)
     m_start = jnp.asarray(np.log(1 / 80.0) + 0.02 * rng.standard_normal((C, len(m0))))
     m_ref = m_start
     key = jax.random.PRNGKey(3)
 
-    mesh = make_device_mesh(4, 2)
+    mesh = make_device_mesh(2, 2)
     res = run_sharded_hmc(prob, opts, mass, m_start, m_ref, S, key, mesh)
     models = np.asarray(res.models)
     assert models.shape == (S, C, len(m0))
@@ -80,11 +80,12 @@ def test_sharded_hmc_runs_and_matches_semantics(tiny_problem_shardable):
                                        jnp.asarray(obs_cube), jnp.asarray(w_cube))
         return jax.vmap(jax.value_and_grad(single, has_aux=True))(m, mref)
 
+    runner = jax.jit(lambda ms, mr, k: H.run_hmc(potential_vg, opts, mass,
+                                                 ms, mr, S, k))
     outs = []
-    for d in range(4):
+    for d in range(2):
         key_d = jax.random.fold_in(key, d)
-        r = H.run_hmc(potential_vg, opts, mass, m_start[2 * d:2 * d + 2],
-                      m_ref[2 * d:2 * d + 2], S, key_d)
+        r = runner(m_start[2 * d:2 * d + 2], m_ref[2 * d:2 * d + 2], key_d)
         outs.append(np.asarray(r.models))
     want = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(models, want, rtol=5e-5, atol=1e-6)
