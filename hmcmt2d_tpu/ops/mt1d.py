@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..constants import EPS0, MU0
 
@@ -23,6 +24,24 @@ from ..constants import EPS0, MU0
 # overflow *mask* (not an Inf/NaN) reproduces the reference's zeroing
 # behaviour, and keeps gradients clean through jnp.where.
 _EXP_CLAMP = 60.0
+
+# |Re| clamp for the safe complex tanh: tanh(20) == 1 to float32 precision,
+# and sinh(2*20) stays comfortably inside float32 range.
+_TANH_CLAMP = 20.0
+
+
+def safe_tanh(z):
+    """Overflow-safe complex tanh (the XLA TPU lowering of complex tanh
+    produces NaN once exp(|Re z|) overflows float32; the skin-depth argument
+    i*k*dz routinely exceeds that in the deep padding cells).
+
+    Uses tanh(x+iy) = (sinh(2x)/2 + i*sin(2y)/2) / (sinh(x)^2 + cos(y)^2)
+    with x clamped to +-20, where tanh is exactly +-1 in float32 anyway.
+    """
+    x = jnp.clip(jnp.real(z), -_TANH_CLAMP, _TANH_CLAMP)
+    y = jnp.imag(z)
+    den = jnp.sinh(x) ** 2 + jnp.cos(y) ** 2
+    return lax.complex(0.5 * jnp.sinh(2.0 * x) / den, 0.5 * jnp.sin(2.0 * y) / den)
 
 
 def wavenumber(omega, sigma):
@@ -48,7 +67,7 @@ def surface_impedance(omega, sigma, dz):
     # halfspace start: impedance of the bottom layer's intrinsic impedance
     z_bot = zp[..., -1]
 
-    th = jnp.tanh(1j * k * dz)            # (..., n)
+    th = safe_tanh(1j * k * dz)           # (..., n)
 
     def step(z, inputs):
         zp_j, th_j = inputs
@@ -70,7 +89,11 @@ def _clamped_exp(x):
     arithmetic finite so masks and gradients stay NaN-free.
     """
     re = jnp.clip(jnp.real(x), -_EXP_CLAMP, _EXP_CLAMP)
-    return jnp.exp(re + 1j * jnp.imag(x))
+    im = jnp.imag(x)
+    # split real/imag form — the fused complex exp lowering is less robust
+    # on TPU than two real transcendentals
+    mag = jnp.exp(re)
+    return lax.complex(mag * jnp.cos(im), mag * jnp.sin(im))
 
 
 def analytic_field(omega, sigma, dz, with_h: bool = False, dtype=None):
