@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from ..models.data import MTData
+from ..models.data import DATA_TYPES, MTData
 
 
 def _content_lines(path):
@@ -42,14 +42,14 @@ def read_data(path) -> tuple[MTData, np.ndarray, np.ndarray]:
             freqs = np.array([float(next(lines)) for _ in range(nf)])
         elif "DataType" in line:
             data_type = line.split()[-1]
-            if data_type not in ("Impedance", "Rho_Pha"):
+            if data_type not in DATA_TYPES:
                 raise ValueError(f"{data_type} is not supported.")
         elif "DataComp" in line:
             ndt = int(line.split()[-1])
             comps = [next(lines).strip() for _ in range(ndt)]
         elif "Data Block" in line:
             ndata = int(line.split()[-1])
-            is_complex = data_type == "Impedance"
+            is_complex = "Impedance" in data_type
             freq_id = np.zeros(ndata, int)
             rx_id = np.zeros(ndata, int)
             dt_id = np.zeros(ndata, int)

@@ -13,8 +13,14 @@ import dataclasses
 
 import numpy as np
 
-TE_COMPONENTS = {"ZXY", "RhoXY", "PhsXY"}
-TM_COMPONENTS = {"ZYX", "RhoYX", "PhsYX"}
+TE_COMPONENTS = {"ZXY", "RhoXY", "PhsXY", "log10RhoXY", "TZY"}
+TM_COMPONENTS = {"ZYX", "RhoYX", "PhsYX", "log10RhoYX"}
+
+# dataType families of the reference (readMT2DData.jl:81-86,117-121;
+# dataFuncSens.jl:118-176): "Impedance[_Tipper]" rows are complex,
+# "Rho_Pha"/"Rho_Phs" rows are real.  Tipper (TZY = Hz/Hy, TE mode) is
+# supported with the Impedance family, where it is complex like Z.
+DATA_TYPES = ("Impedance", "Impedance_Tipper", "Rho_Pha", "Rho_Phs")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,8 +66,16 @@ class MTData:
         (readMT2DData.jl:164-172, MT2DFwdSolver.jl:209-210)."""
         return (self.freq_id * self.n_rx + self.rx_id) * self.n_comp + self.dt_id
 
+    @property
+    def is_complex(self) -> bool:
+        """Complex observations iff the Impedance family
+        (readMT2DData.jl:117-121)."""
+        return "Impedance" in self.data_type
+
     def validate(self):
-        assert self.data_type in ("Impedance", "Rho_Pha"), self.data_type
+        assert self.data_type in DATA_TYPES, self.data_type
+        if any(c == "TZY" for c in self.data_comp):
+            assert self.is_complex, "tipper requires the Impedance family"
         for c in self.data_comp:
             assert c in TE_COMPONENTS | TM_COMPONENTS, c
         assert self.freq_id.max() < self.n_freq and self.rx_id.max() < self.n_rx

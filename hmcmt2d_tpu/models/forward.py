@@ -74,6 +74,18 @@ class RxInterp(NamedTuple):
     idx: np.ndarray     # (nrx,) left node index in y
     w0: np.ndarray      # (nrx,) weight of node idx
     w1: np.ndarray      # (nrx,) weight of node idx+1
+    cidx: np.ndarray    # (nrx,) left cell-centre index (tipper Hz interp)
+    c0: np.ndarray      # (nrx,) weight of centre cidx
+    c1: np.ndarray      # (nrx,) weight of centre cidx+1
+
+
+def _interp1d(x_grid: np.ndarray, x: np.ndarray):
+    idx = np.searchsorted(x_grid, x, side="right") - 1
+    idx = np.clip(idx, 0, len(x_grid) - 2)
+    d1 = x - x_grid[idx]
+    d2 = x_grid[idx + 1] - x
+    w = d1 + d2
+    return idx, d2 / w, d1 / w
 
 
 def make_rx_interp(mesh: M.TensorMesh2D, rx_loc: np.ndarray) -> RxInterp:
@@ -85,12 +97,10 @@ def make_rx_interp(mesh: M.TensorMesh2D, rx_loc: np.ndarray) -> RxInterp:
         raise ValueError("receivers must sit on a z-node level (no topography)")
     zid = int(hits[0])
     ry = np.asarray(rx_loc[:, 0], float)
-    idx = np.searchsorted(y_node, ry, side="right") - 1
-    idx = np.clip(idx, 0, len(y_node) - 2)
-    dy1 = ry - y_node[idx]
-    dy2 = y_node[idx + 1] - ry
-    w = dy1 + dy2
-    return RxInterp(zid=zid, idx=idx, w0=dy2 / w, w1=dy1 / w)
+    idx, w0, w1 = _interp1d(y_node, ry)
+    y_center = 0.5 * (y_node[:-1] + y_node[1:])
+    cidx, c0, c1 = _interp1d(y_center, np.clip(ry, y_center[0], y_center[-1]))
+    return RxInterp(zid=zid, idx=idx, w0=w0, w1=w1, cidx=cidx, c0=c0, c1=c1)
 
 
 def boundary_profiles(mesh: M.TensorMesh2D, sigma2d: jax.Array) -> jax.Array:
@@ -243,6 +253,22 @@ def rx_fields_tm(omegas, mesh: M.TensorMesh2D, sigma2d, fields, rx: RxInterp):
     return Ey_r, Hx_r
 
 
+def rx_hz_te(omegas, mesh: M.TensorMesh2D, fields, rx: RxInterp):
+    """Vertical magnetic field Hz at the receivers (TE mode), from the
+    quarter-point Hz used by the Ampere correction — the field the tipper
+    TZY = Hz/Hy is built from (dataFuncSens.jl:79-111: Hzr via the same
+    quarter-point HzQ interpolated to receiver locations)."""
+    dy = mesh.y_len.astype(jnp.real(fields).dtype)
+    om = omegas.astype(dy.dtype)[:, None]
+    E0 = fields[:, rx.zid, :]
+    E1 = fields[:, rx.zid + 1, :]
+    iom = lax.complex(jnp.zeros_like(om), om)
+    Bz0 = (E0[:, 1:] - E0[:, :-1]) / dy / iom
+    Bz1 = (E1[:, 1:] - E1[:, :-1]) / dy / iom
+    HzQ = (0.75 * Bz0 + 0.25 * Bz1) / MU0                  # (nfreq, ny) centres
+    return rx.c0 * HzQ[:, rx.cidx] + rx.c1 * HzQ[:, rx.cidx + 1]
+
+
 def impedance_to_rho_phase(omegas, Z):
     """Apparent resistivity & phase (deg) from impedance (compMTRespTE,
     mt2DTE.jl:253-255)."""
@@ -267,8 +293,8 @@ class ForwardOperator:
     rx: RxInterp
     cfg: SolveConfig
 
-    def mode_impedance(self, sigma2d: jax.Array, mode: str, freqs=None) -> jax.Array:
-        """Impedance Zxy (TE) or Zyx (TM) at (nfreq, nrx).
+    def mode_solution(self, sigma2d: jax.Array, mode: str, freqs=None) -> jax.Array:
+        """Full node fields (nfreq, nz+1, ny+1) for one polarisation mode.
 
         ``freqs`` may override the survey frequencies with a traced array —
         used by the frequency-sharded SPMD path where each device solves its
@@ -281,27 +307,47 @@ class ForwardOperator:
         else:
             st = M.tm_stencil(self.mesh, sigma2d)
         bc = boundary_grid(self.mesh, sigma2d, omegas, mode, self.cfg.solve_dtype)
-        fields = solve_dirichlet(st, omegas, bc, self.cfg)
+        return solve_dirichlet(st, omegas, bc, self.cfg)
+
+    def mode_rx_fields(self, sigma2d, mode: str, freqs=None):
+        """(E, H, fields) at receivers for one mode."""
+        freqs = self.data.freqs if freqs is None else freqs
+        omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
+        fields = self.mode_solution(sigma2d, mode, freqs)
         if mode == "TE":
             E, H = rx_fields_te(omegas, self.mesh, sigma2d, fields, self.rx)
         else:
             E, H = rx_fields_tm(omegas, self.mesh, sigma2d, fields, self.rx)
+        return E, H, fields
+
+    def mode_impedance(self, sigma2d: jax.Array, mode: str, freqs=None) -> jax.Array:
+        """Impedance Zxy (TE) or Zyx (TM) at (nfreq, nrx)."""
+        E, H, _ = self.mode_rx_fields(sigma2d, mode, freqs)
         return E / H
 
     def response_cube(self, sigma2d: jax.Array, freqs=None) -> jax.Array:
         """(nfreq, nrx, ncomp) response cube in data_comp order."""
         freqs = self.data.freqs if freqs is None else freqs
         omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
-        Z = {}
+        Z, T = {}, None
+        want_tipper = any(c == "TZY" for c in self.data.data_comp)
         if self.data.comp_te:
-            Z["XY"] = self.mode_impedance(sigma2d, "TE", freqs)
+            E, H, fields = self.mode_rx_fields(sigma2d, "TE", freqs)
+            Z["XY"] = E / H
+            if want_tipper:
+                T = rx_hz_te(omegas, self.mesh, fields, self.rx) / H
         if self.data.comp_tm:
             Z["YX"] = self.mode_impedance(sigma2d, "TM", freqs)
         comps = []
         for name in self.data.data_comp:
             pol = "XY" if name.endswith("XY") else "YX"
-            if name.startswith("Z"):
+            if name == "TZY":
+                comps.append(T)
+            elif name.startswith("Z"):
                 comps.append(Z[pol])
+            elif name.startswith("log10Rho"):
+                rho = impedance_to_rho_phase(omegas, Z[pol])[0]
+                comps.append(jnp.log10(rho))
             elif name.startswith("Rho"):
                 comps.append(impedance_to_rho_phase(omegas, Z[pol])[0])
             elif name.startswith("Phs"):

@@ -8,6 +8,7 @@ one jitted program instead of one chain per process.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 
 import jax
@@ -62,12 +63,34 @@ def hmc_options(cfg: HMCConfig) -> H.HMCOptions:
     )
 
 
+def _segment_plan(n_main: int, every: int) -> list[int]:
+    """Segment lengths: full ``every``-sized segments plus a tail."""
+    if every <= 0 or every >= n_main:
+        return [n_main] if n_main > 0 else []
+    segs = [every] * (n_main // every)
+    if n_main % every:
+        segs.append(n_main % every)
+    return segs
+
+
 def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                   n_chains: int | None = None, key=None,
                   solve_cfg: SolveConfig | None = None,
-                  n_samples: int | None = None) -> InversionRun:
+                  n_samples: int | None = None,
+                  checkpoint_path: str | None = None,
+                  checkpoint_every: int = 0,
+                  resume: bool = False) -> InversionRun:
     """End-to-end single-host inversion: all chains advance in one jitted
-    scan, batched through the PDE solves."""
+    scan, batched through the PDE solves.
+
+    With ``checkpoint_path`` set, the post-warmup phase runs in
+    ``checkpoint_every``-sample segments and dumps the full sampler state
+    after each; ``resume=True`` continues from that file bit-exactly (the
+    per-segment PRNG keys are derived as fold_in(key_main, segment), so the
+    sample stream matches an uninterrupted run).
+    """
+    from . import checkpoint as C
+
     n_chains = n_chains or cfg.n_chains
     key = key if key is not None else jax.random.PRNGKey(cfg.seed)
     n_samples = n_samples or cfg.total_samples
@@ -77,45 +100,96 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         sigma_fixed=cfg.sig_fix, cfg=solve_cfg)
 
     key_start, key_run = jax.random.split(key)
-    m_start = H.random_homogeneous_start(key_start, m0_file, n_chains)
-    m_ref = m_start  # refModel = strModel (HMCSampler.jl:108-109)
-
     vg = make_potential_vg(problem, cfg.reg_param)
-    mass = make_mass(problem, cfg)
     opts = hmc_options(cfg)
 
     t0 = time.time()
-    if cfg.adapt:
-        # warmup phase over the burn-in iterations: dual-averaging step size
-        # + diagonal mass adaptation, then a fixed-kernel main phase
-        n_warm = min(cfg.burnin, n_samples)
-        wopts = A.WarmupOptions(target_accept=cfg.target_accept)
-        key_warm, key_main = jax.random.split(key_run)
-        wrun = jax.jit(lambda m0, mref, k: A.warmup(vg, opts, m0, mref,
-                                                    n_warm, k, wopts))
-        wres, state, mass, info = wrun(m_start, m_ref, key_warm)
-        jax.block_until_ready(wres.models)
-        opts = dataclasses.replace(opts, dt=float(info.dt))
-        n_main = n_samples - n_warm
-        if n_main > 0:
-            run = jax.jit(lambda st, mref, k: H.run_hmc(
-                vg, opts, mass, st.m, mref, n_main, k, init_state=st))
-            mres = run(state, m_ref, key_main)
-            jax.block_until_ready(mres.models)
-            result = H.HMCResult(
-                models=jnp.concatenate([wres.models, mres.models]),
-                stats=jnp.concatenate([wres.stats, mres.stats]),
-                accepts=jnp.concatenate([wres.accepts, mres.accepts]),
-                pred=jnp.concatenate([wres.pred, mres.pred]),
-                final=mres.final, start_stats=wres.start_stats)
-        else:
-            result = wres
+    wall_prev = 0.0
+    chunks: list[H.HMCResult | None] = []
+    acc_models, acc_stats, acc_accepts, acc_pred = [], [], [], []
+
+    if resume:
+        if not (checkpoint_path and os.path.exists(checkpoint_path)):
+            raise FileNotFoundError(f"no checkpoint to resume: {checkpoint_path}")
+        ck = C.load_checkpoint(checkpoint_path)
+        n_warm = ck["n_warm"]
+        seg0 = ck["segment"]
+        state, mass = ck["state"], ck["mass"]
+        key_main = ck["key"]
+        opts = dataclasses.replace(opts, dt=ck["dt"])
+        m_ref = jnp.asarray(ck["m_ref"])
+        start_stats = jnp.asarray(ck["start_stats"])
+        wall_prev = ck["wall_time"]
+        acc_models.append(ck["models"])
+        acc_stats.append(ck["stats"])
+        acc_accepts.append(ck["accepts"])
+        acc_pred.append(ck["pred"])
     else:
-        run = jax.jit(lambda m0, mref, k: H.run_hmc(vg, opts, mass, m0, mref,
-                                                    n_samples, k))
-        result = run(m_start, m_ref, key_run)
-        jax.block_until_ready(result.models)
-    wall = time.time() - t0
+        seg0 = 0
+        m_start = H.random_homogeneous_start(key_start, m0_file, n_chains)
+        m_ref = m_start  # refModel = strModel (HMCSampler.jl:108-109)
+        mass = make_mass(problem, cfg)
+        if cfg.adapt:
+            # warmup over the burn-in iterations: dual-averaging step size +
+            # diagonal mass adaptation, then a fixed-kernel main phase
+            n_warm = min(cfg.burnin, n_samples)
+            wopts = A.WarmupOptions(target_accept=cfg.target_accept)
+            key_warm, key_main = jax.random.split(key_run)
+            wrun = jax.jit(lambda m0, mref, k: A.warmup(vg, opts, m0, mref,
+                                                        n_warm, k, wopts))
+            wres, state, mass, info = wrun(m_start, m_ref, key_warm)
+            jax.block_until_ready(wres.models)
+            opts = dataclasses.replace(opts, dt=float(info.dt))
+        else:
+            n_warm = 0
+            key_main = key_run
+            wres = None
+            state = None
+        if wres is not None:
+            start_stats = wres.start_stats
+            acc_models.append(np.asarray(wres.models))
+            acc_stats.append(np.asarray(wres.stats))
+            acc_accepts.append(np.asarray(wres.accepts))
+            acc_pred.append(np.asarray(wres.pred))
+        else:
+            state = H.sample_chain_init(vg, m_start, m_ref)
+            ke = mass.kinetic(mass.draw(jax.random.fold_in(key_main, 0), m_start.shape))
+            start_stats = jnp.stack([state.misfit, state.mnorm, ke,
+                                     state.misfit + state.mnorm + ke], axis=-1)
+
+    n_main = n_samples - n_warm
+    segs = _segment_plan(n_main, checkpoint_every)
+    runs = {}
+    for i in range(seg0, len(segs)):
+        n_seg = segs[i]
+        if n_seg not in runs:
+            runs[n_seg] = jax.jit(lambda st, mref, k, n=n_seg: H.run_hmc(
+                vg, opts, mass, st.m, mref, n, k, init_state=st))
+        res = runs[n_seg](state, m_ref, jax.random.fold_in(key_main, i))
+        jax.block_until_ready(res.models)
+        state = res.final
+        acc_models.append(np.asarray(res.models))
+        acc_stats.append(np.asarray(res.stats))
+        acc_accepts.append(np.asarray(res.accepts))
+        acc_pred.append(np.asarray(res.pred))
+        if checkpoint_path:
+            C.save_checkpoint(
+                checkpoint_path, segment=i + 1, state=state, key=key_main,
+                dt=opts.dt, mass=mass, m_ref=m_ref,
+                models=np.concatenate(acc_models),
+                stats=np.concatenate(acc_stats),
+                accepts=np.concatenate(acc_accepts),
+                pred=np.concatenate(acc_pred),
+                start_stats=np.asarray(start_stats),
+                n_warm=n_warm, wall_time=wall_prev + time.time() - t0)
+
+    result = H.HMCResult(
+        models=jnp.asarray(np.concatenate(acc_models)),
+        stats=jnp.asarray(np.concatenate(acc_stats)),
+        accepts=jnp.asarray(np.concatenate(acc_accepts)),
+        pred=jnp.asarray(np.concatenate(acc_pred)),
+        final=state, start_stats=jnp.asarray(start_stats))
+    wall = wall_prev + time.time() - t0
 
     return InversionRun(problem=problem, result=result, config=cfg,
                         m_ref=np.asarray(m_ref), wall_time=wall)

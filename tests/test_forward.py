@@ -133,3 +133,37 @@ def test_rho_pha_data_type():
     np.testing.assert_allclose(pred[:, 1], 45.0, atol=1.5)     # phase_xy ~ 45 deg
     np.testing.assert_allclose(pred[:, 2], 100.0, rtol=0.05)   # rho_yx
     np.testing.assert_allclose(np.abs(pred[:, 3]), 135.0, atol=1.5)  # phase of -Z
+
+
+def test_tipper_and_log10rho():
+    """Tipper ~ 0 on a 1-D model, nonzero over a lateral contrast; log10Rho
+    component equals log10 of the Rho component."""
+    mesh, sigma2d, rx_loc, _, _ = layered_setup((100.0,))
+    freqs = np.array([1.0, 0.1])
+    cfg = F.SolveConfig(jnp.complex128, 0)
+
+    data_t = make_data(rx_loc, freqs, comps=("ZXY", "TZY"),
+                       data_type="Impedance_Tipper")
+    fwd_t = F.make_forward(mesh, data_t, cfg)
+    cube = np.asarray(fwd_t.response_cube(jnp.asarray(sigma2d)))
+    T1d = cube[..., 1]
+    Z1d = cube[..., 0]
+    # 1-D model: vertical field ~ 0 => |T| << 1 (dimensionless)
+    assert np.all(np.abs(T1d) < 2e-3), np.abs(T1d).max()
+
+    # lateral conductor under the receiver line: tipper must respond
+    sigma_a = sigma2d.copy()
+    sigma_a[9:14, 6:16] = 1.0
+    cube_a = np.asarray(fwd_t.response_cube(jnp.asarray(sigma_a)))
+    assert np.abs(cube_a[..., 1]).max() > 50 * np.abs(T1d).max()
+    # tipper is differentiable
+    g = jax.grad(lambda s: jnp.sum(jnp.abs(fwd_t.response_cube(s)[..., 1]) ** 2))(
+        jnp.asarray(sigma_a))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    data_r = make_data(rx_loc, freqs, comps=("RhoXY", "log10RhoXY", "PhsXY"),
+                       data_type="Rho_Pha")
+    fwd_r = F.make_forward(mesh, data_r, cfg)
+    cube_r = np.asarray(fwd_r.response_cube(jnp.asarray(sigma2d)))
+    np.testing.assert_allclose(cube_r[..., 1], np.log10(cube_r[..., 0]), rtol=1e-12)
+    assert np.all(np.abs(cube_r[..., 0] - 100.0) / 100.0 < 0.05)
