@@ -7,7 +7,7 @@ driver samples in fixed-size segments and after each segment dumps the full
 sampler state — current per-chain model/gradient/energies, the PRNG key
 schedule position, adapted step size, mass matrix, and all accumulated
 outputs — to a single ``.npz``.  ``resume=True`` continues bit-exactly: the
-same segment keys are derived by ``fold_in(key, segment_index)``, so a
+per-sample keys are a pure function of the global sample index, so a
 resumed run produces the identical sample stream as an uninterrupted one.
 """
 
@@ -20,10 +20,10 @@ import numpy as np
 from . import hmc as H
 
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
-def save_checkpoint(path: str, *, segment: int, state: H.ChainState, key,
+def save_checkpoint(path: str, *, n_done: int, state: H.ChainState, key,
                     dt: float, mass: H.MassMatrix, m_ref,
                     models, stats, accepts, pred, start_stats,
                     n_warm: int, wall_time: float) -> None:
@@ -32,7 +32,7 @@ def save_checkpoint(path: str, *, segment: int, state: H.ChainState, key,
     np.savez(
         tmp,
         version=FORMAT_VERSION,
-        segment=segment,
+        n_done=n_done,
         n_warm=n_warm,
         wall_time=wall_time,
         dt=dt,
@@ -74,7 +74,7 @@ def load_checkpoint(path: str) -> dict:
                             inv_m=jnp.asarray(z["mass_inv"]),
                             diagonal=bool(z["mass_diagonal"]))
         return dict(
-            segment=int(z["segment"]),
+            n_done=int(z["n_done"]),
             n_warm=int(z["n_warm"]),
             wall_time=float(z["wall_time"]),
             dt=float(z["dt"]),

@@ -113,7 +113,7 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             raise FileNotFoundError(f"no checkpoint to resume: {checkpoint_path}")
         ck = C.load_checkpoint(checkpoint_path)
         n_warm = ck["n_warm"]
-        seg0 = ck["segment"]
+        n_done = ck["n_done"]
         state, mass = ck["state"], ck["mass"]
         key_main = ck["key"]
         opts = dataclasses.replace(opts, dt=ck["dt"])
@@ -125,7 +125,7 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         acc_accepts.append(ck["accepts"])
         acc_pred.append(ck["pred"])
     else:
-        seg0 = 0
+        n_done = 0
         m_start = H.random_homogeneous_start(key_start, m0_file, n_chains)
         m_ref = m_start  # refModel = strModel (HMCSampler.jl:108-109)
         mass = make_mass(problem, cfg)
@@ -158,23 +158,26 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                                      state.misfit + state.mnorm + ke], axis=-1)
 
     n_main = n_samples - n_warm
-    segs = _segment_plan(n_main, checkpoint_every)
+    # per-sample keys are a pure function of the global sample index (run_hmc's
+    # key_offset), so ANY segmentation — including a resume from a checkpoint
+    # written under a different total-sample count — yields the same stream
+    segs = _segment_plan(n_main - n_done, checkpoint_every)
     runs = {}
-    for i in range(seg0, len(segs)):
-        n_seg = segs[i]
+    for n_seg in segs:
         if n_seg not in runs:
-            runs[n_seg] = jax.jit(lambda st, mref, k, n=n_seg: H.run_hmc(
-                vg, opts, mass, st.m, mref, n, k, init_state=st))
-        res = runs[n_seg](state, m_ref, jax.random.fold_in(key_main, i))
+            runs[n_seg] = jax.jit(lambda st, mref, k, off, n=n_seg: H.run_hmc(
+                vg, opts, mass, st.m, mref, n, k, init_state=st, key_offset=off))
+        res = runs[n_seg](state, m_ref, key_main, n_done)
         jax.block_until_ready(res.models)
         state = res.final
+        n_done += n_seg
         acc_models.append(np.asarray(res.models))
         acc_stats.append(np.asarray(res.stats))
         acc_accepts.append(np.asarray(res.accepts))
         acc_pred.append(np.asarray(res.pred))
         if checkpoint_path:
             C.save_checkpoint(
-                checkpoint_path, segment=i + 1, state=state, key=key_main,
+                checkpoint_path, n_done=n_done, state=state, key=key_main,
                 dt=opts.dt, mass=mass, m_ref=m_ref,
                 models=np.concatenate(acc_models),
                 stats=np.concatenate(acc_stats),

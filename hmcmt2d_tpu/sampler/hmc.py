@@ -214,7 +214,8 @@ def sample_chain_init(potential_vg: Callable, m0: jax.Array, m_ref: jax.Array):
 
 def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
             m0: jax.Array, m_ref: jax.Array, n_samples: int, key,
-            sample_dtype=jnp.float32, init_state: ChainState | None = None) -> HMCResult:
+            sample_dtype=jnp.float32, init_state: ChainState | None = None,
+            key_offset=0) -> HMCResult:
     """Run ``n_samples`` HMC iterations for a batch of chains.
 
     potential_vg(m (C,P), m_ref (C,P)) -> ((U, (misfit, mnorm, pred)), grad)
@@ -224,6 +225,11 @@ def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
     reference's per-iteration records (runHMCSampler, HMCSampler.jl:118-192).
     ``init_state`` (e.g. the warmup adapter's final state) skips the initial
     potential evaluation at ``m0``.
+
+    Per-iteration PRNG keys are ``fold_in(fold_in(key, 1), key_offset + i)``,
+    i.e. a pure function of the *global* sample index — so a run segmented at
+    arbitrary checkpoint boundaries (the driver passes ``key_offset`` = samples
+    already drawn) produces a sample stream identical to an unsegmented run.
     """
     state = init_state if init_state is not None else sample_chain_init(
         potential_vg, m0, m_ref)
@@ -233,7 +239,9 @@ def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
     start_stats = jnp.stack([state.misfit, state.mnorm, ke_init,
                              state.misfit + state.mnorm + ke_init], axis=-1)
 
-    keys = jax.random.split(jax.random.fold_in(key, 1), n_samples)
+    base = jax.random.fold_in(key, 1)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        key_offset + jnp.arange(n_samples))
 
     def body(state, k):
         new, accept, stats, _alpha = step(state, k, m_ref, opts.dt, mass)
