@@ -254,19 +254,16 @@ def rx_fields_tm(omegas, mesh: M.TensorMesh2D, sigma2d, fields, rx: RxInterp):
 
 
 def rx_hz_te(omegas, mesh: M.TensorMesh2D, fields, rx: RxInterp):
-    """Vertical magnetic field Hz at the receivers (TE mode), from the
-    quarter-point Hz used by the Ampere correction — the field the tipper
-    TZY = Hz/Hy is built from (dataFuncSens.jl:79-111: Hzr via the same
-    quarter-point HzQ interpolated to receiver locations)."""
+    """Vertical magnetic field Hz at the receivers (TE mode), for the tipper
+    TZY = Hz/Hy.  The reference interpolates the *surface-row* Bz0/mu on cell
+    centres (dataFuncSens.jl:44-46, Hzr at :96 — `linRxMap2' * (Bz0 ./ mu)`,
+    not the quarter-point HzQ)."""
     dy = mesh.y_len.astype(jnp.real(fields).dtype)
     om = omegas.astype(dy.dtype)[:, None]
     E0 = fields[:, rx.zid, :]
-    E1 = fields[:, rx.zid + 1, :]
     iom = lax.complex(jnp.zeros_like(om), om)
-    Bz0 = (E0[:, 1:] - E0[:, :-1]) / dy / iom
-    Bz1 = (E1[:, 1:] - E1[:, :-1]) / dy / iom
-    HzQ = (0.75 * Bz0 + 0.25 * Bz1) / MU0                  # (nfreq, ny) centres
-    return rx.c0 * HzQ[:, rx.cidx] + rx.c1 * HzQ[:, rx.cidx + 1]
+    Hz0 = (E0[:, 1:] - E0[:, :-1]) / dy / iom / MU0        # (nfreq, ny) centres
+    return rx.c0 * Hz0[:, rx.cidx] + rx.c1 * Hz0[:, rx.cidx + 1]
 
 
 def impedance_to_rho_phase(omegas, Z):

@@ -125,3 +125,101 @@ def dense_operator(dy, dz, sigma, mode, omega):
     """Full complex operator A(omega) over all nodes as a sparse matrix."""
     dGrad, Mnode = assemble_mode_matrices(dy, dz, sigma, mode)
     return (dGrad + 1j * omega * Mnode).tocsr()
+
+
+# ---------------------------------------------------------------------------
+# Receiver-side surface-field corrections — line-by-line numpy ports of the
+# reference's compFieldsAtRxTE/TM (mt2DTE.jl:153-210, mt2DTM.jl:152-210) used
+# as the *exact* oracle for hmcmt2d_tpu.models.forward.rx_fields_te/tm.
+# Note the reference's receiver interpolation weights are UNNORMALISED
+# (Ex0[id-1]*dy2 + Ex0[id]*dy1, mt2DTE.jl:200-207): both fields pick up the
+# same (dy1+dy2) factor, which cancels in the impedance Z = E/H.
+# ---------------------------------------------------------------------------
+
+def _interp_unnormalised(y_node, ry, field):
+    """field (ny+1,) -> values at receiver y-locations with the reference's
+    raw dy2/dy1 weights (mt2DTE.jl:195-207)."""
+    out = np.empty(len(ry), field.dtype)
+    for k, y in enumerate(ry):
+        i = int(np.searchsorted(y_node, y, side="right"))  # first node > y
+        i = min(max(i, 1), len(y_node) - 1)
+        dy1 = y - y_node[i - 1]
+        dy2 = y_node[i] - y
+        out[k] = field[i - 1] * dy2 + field[i] * dy1
+    return out
+
+
+def _interp_normalised(x_grid, xs, field):
+    """Normalised linear interpolation (linearInterpMat, sensUtils.jl:63-83)."""
+    out = np.empty(len(xs), field.dtype)
+    for k, x in enumerate(xs):
+        i = int(np.searchsorted(x_grid, x, side="right"))
+        i = min(max(i, 1), len(x_grid) - 1)
+        d1 = x - x_grid[i - 1]
+        d2 = x_grid[i] - x
+        out[k] = (field[i - 1] * d2 + field[i] * d1) / (d1 + d2)
+    return out
+
+
+def rx_fields_te_reference(omega, rx_y, y_node, z_len1, sigma1, E0, E1):
+    """compFieldsAtRxTE (mt2DTE.jl:153-210): surface (Ex, Hy) at receivers
+    from the two node rows bracketing the receiver level.
+
+    ``E0``/``E1`` are the (ny+1,) node fields at the receiver level and one
+    level below; weights unnormalised as in the reference.
+    """
+    y_len = np.diff(y_node)
+    ny = len(y_len)
+
+    Bz0 = np.diff(E0) / y_len / (1j * omega)
+    Bz1 = np.diff(E1) / y_len / (1j * omega)
+    HzQ = (0.75 * Bz0 + 0.25 * Bz1) / MU0                        # (ny,)
+    HyH = -(E1[1:-1] - E0[1:-1]) / z_len1 / (1j * omega * MU0)   # (ny-1,)
+    ExQ = 0.75 * E0[1:-1] + 0.25 * E1[1:-1]
+    av_ylen = 0.5 * (y_len[:-1] + y_len[1:])
+    sigma1v = 0.5 * (sigma1[:-1] * y_len[:-1] + sigma1[1:] * y_len[1:]) / av_ylen
+    dHzQ = np.diff(HzQ) / av_ylen
+    Hy0 = np.empty(ny + 1, complex)
+    Hy0[1:-1] = HyH - (dHzQ - sigma1v * ExQ) * (0.5 * z_len1)
+    Hy0[0] = Hy0[1]
+    Hy0[-1] = Hy0[-2]
+
+    Exr = _interp_unnormalised(y_node, rx_y, E0)
+    Hyr = _interp_unnormalised(y_node, rx_y, Hy0)
+    return Exr, Hyr
+
+
+def rx_fields_tm_reference(omega, rx_y, y_node, z_len1, sigma1, H0, H1):
+    """compFieldsAtRxTM (mt2DTM.jl:152-210): surface (Ey, Hx) at receivers."""
+    y_len = np.diff(y_node)
+    ny = len(y_len)
+
+    Jz0 = -np.diff(H0) / y_len
+    Jz1 = -np.diff(H1) / y_len
+    EzQ = (0.75 * Jz0 + 0.25 * Jz1) / sigma1                     # (ny,)
+    JyH = (H1[1:-1] - H0[1:-1]) / z_len1
+    av_ylen = 0.5 * (y_len[:-1] + y_len[1:])
+    rho1v = 0.5 * ((1.0 / sigma1[:-1]) * y_len[:-1]
+                   + (1.0 / sigma1[1:]) * y_len[1:]) / av_ylen
+    EyH = JyH * rho1v
+    HxQ = 0.75 * H0[1:-1] + 0.25 * H1[1:-1]
+    dEzQ = np.diff(EzQ) / av_ylen
+    Ey0 = np.empty(ny + 1, complex)
+    Ey0[1:-1] = EyH - (dEzQ + 1j * omega * MU0 * HxQ) * (0.5 * z_len1)
+    Ey0[0] = Ey0[1]
+    Ey0[-1] = Ey0[-2]
+
+    Eyr = _interp_unnormalised(y_node, rx_y, Ey0)
+    Hxr = _interp_unnormalised(y_node, rx_y, H0)
+    return Eyr, Hxr
+
+
+def rx_hz_te_reference(omega, rx_y, y_node, E0):
+    """Tipper Hz at receivers: the reference interpolates the *surface-row*
+    Bz0/mu on cell centres with normalised weights (dataFuncSens.jl:44-51,
+    Hzr at :96 — NOT the quarter-point HzQ)."""
+    y_len = np.diff(y_node)
+    Bz0 = np.diff(E0) / y_len / (1j * omega)
+    y_cen = 0.5 * (y_node[:-1] + y_node[1:])
+    xs = np.clip(rx_y, y_cen[0], y_cen[-1])
+    return _interp_normalised(y_cen, xs, Bz0 / MU0)

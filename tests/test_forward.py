@@ -121,6 +121,60 @@ def test_predict_shapes_and_gradient():
     assert np.abs(g[mesh.n_air:]).max() > 0
 
 
+def test_rx_corrections_match_reference_exactly():
+    """rx_fields_te/tm and rx_hz_te vs. line-by-line numpy ports of the
+    reference's compFieldsAtRxTE/TM (mt2DTE.jl:153-210, mt2DTM.jl:152-210)
+    and the tipper Hzr (dataFuncSens.jl:44-46,96), on RANDOM complex fields —
+    a one-index or sign slip fails at 1e-12, far below physics tolerances.
+
+    The reference's receiver weights are unnormalised (mt2DTE.jl:200-207);
+    ours are normalised, so E and H are compared after dividing by the
+    common (dy1+dy2) factor and the impedance Z = E/H is compared directly.
+    """
+    mesh, sigma2d, rx_loc, _, _ = layered_setup(nrx=7)
+    # make the receiver layer laterally heterogeneous
+    sigma2d = sigma2d.copy()
+    sigma2d[mesh.n_air, ::2] *= 3.0
+
+    rng = np.random.default_rng(42)
+    ny = mesh.ny
+    rx = F.make_rx_interp(mesh, rx_loc)
+    y_node = np.asarray(mesh.y_node())
+    z_len1 = float(np.asarray(mesh.z_len)[rx.zid])
+    sigma1 = np.asarray(sigma2d)[rx.zid]
+    omega = 2 * np.pi * 0.7
+    omegas = jnp.asarray([omega])
+    ry = rx_loc[:, 0]
+    # unnormalised weights scale both fields by (dy1+dy2)
+    i_right = np.clip(np.searchsorted(y_node, ry, side="right"), 1, ny)
+    wsum = y_node[i_right] - y_node[i_right - 1]
+
+    E0 = rng.standard_normal(ny + 1) + 1j * rng.standard_normal(ny + 1)
+    E1 = rng.standard_normal(ny + 1) + 1j * rng.standard_normal(ny + 1)
+    fields = jnp.asarray(np.stack([E0, E1]))[None]  # (1 freq, 2 rows, ny+1)
+
+    # build a fake full field grid with the two rows at zid, zid+1
+    full = np.zeros((1, mesh.nz + 1, ny + 1), complex)
+    full[0, rx.zid] = E0
+    full[0, rx.zid + 1] = E1
+
+    Ex, Hy = F.rx_fields_te(omegas, mesh, jnp.asarray(sigma2d), jnp.asarray(full), rx)
+    Ex_ref, Hy_ref = R.rx_fields_te_reference(omega, ry, y_node, z_len1, sigma1, E0, E1)
+    np.testing.assert_allclose(np.asarray(Ex)[0] * wsum, Ex_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Hy)[0] * wsum, Hy_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ex / Hy)[0], Ex_ref / Hy_ref, rtol=1e-12)
+
+    Hz = F.rx_hz_te(omegas, mesh, jnp.asarray(full), rx)
+    Hz_ref = R.rx_hz_te_reference(omega, ry, y_node, E0)
+    np.testing.assert_allclose(np.asarray(Hz)[0], Hz_ref, rtol=1e-12)
+
+    Ey, Hx = F.rx_fields_tm(omegas, mesh, jnp.asarray(sigma2d), jnp.asarray(full), rx)
+    Ey_ref, Hx_ref = R.rx_fields_tm_reference(omega, ry, y_node, z_len1, sigma1, E0, E1)
+    np.testing.assert_allclose(np.asarray(Ey)[0] * wsum, Ey_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Hx)[0] * wsum, Hx_ref, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Ey / Hx)[0], Ey_ref / Hx_ref, rtol=1e-12)
+
+
 def test_rho_pha_data_type():
     mesh, sigma2d, rx_loc, _, _ = layered_setup()
     freqs = np.array([1.0])
