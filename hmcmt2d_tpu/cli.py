@@ -47,12 +47,15 @@ def cmd_run(args):
     import jax.numpy as jnp  # noqa: F401
 
     from .io.startup import read_startup
-    from .parallel.multichain import make_device_mesh, run_sharded_hmc
+    from .parallel.multichain import distributed_init, make_device_mesh
     from .sampler import diagnostics as D
     from .sampler import outputs as O
-    from .sampler.driver import hmc_options, make_mass, run_inversion
-    from .models.posterior import build_inverse_problem
-    from .sampler import hmc as H
+    from .sampler.driver import run_inversion
+
+    # multi-host initialisation (the reference's `julia -p N` equivalent,
+    # README.md:140-165 / parallelHMC.jl) — no-op without --coordinator
+    distributed_init(args.coordinator or None, args.num_processes,
+                     args.process_id)
 
     cfg, mesh, sigma2d, data, obs, err = read_startup(args.startupfile)
     if args.chains:
@@ -67,35 +70,49 @@ def cmd_run(args):
     print(f"[hmcmt2d] devices={n_dev} chains={cfg.n_chains} "
           f"samples={cfg.total_samples} solve_dtype={solve_cfg.solve_dtype.__name__}")
 
-    t0 = time.time()
-    if args.freq_devices > 1 or (n_dev > 1 and cfg.n_chains % n_dev == 0):
-        # sharded path over a (chains, freq) device mesh
-        problem, m0_file = build_inverse_problem(
-            mesh, data, obs, err, np.asarray(sigma2d).ravel(),
-            sigma_fixed=cfg.sig_fix, cfg=solve_cfg)
+    # device mesh: explicit opt-out via --no-shard; warn instead of silently
+    # changing behaviour when the configuration cannot be sharded
+    dev_mesh = None
+    if not args.no_shard and (n_dev > 1 or args.freq_devices > 1):
         kf = args.freq_devices
-        dev_mesh = make_device_mesh(n_dev // kf, kf)
-        key = jax.random.PRNGKey(cfg.seed)
-        k_start, k_run = jax.random.split(key)
-        m_start = H.random_homogeneous_start(k_start, m0_file, cfg.n_chains)
-        result = run_sharded_hmc(problem, hmc_options(cfg), make_mass(problem, cfg),
-                                 m_start, m_start, cfg.total_samples, k_run, dev_mesh)
-        jax.block_until_ready(result.models)
-        wall = time.time() - t0
-    else:
-        run = run_inversion(cfg, mesh, sigma2d, data, obs, err, solve_cfg=solve_cfg)
-        problem, result, wall = run.problem, run.result, run.wall_time
+        if n_dev % kf or data.n_freq % kf or cfg.n_chains % (n_dev // kf):
+            print(f"[hmcmt2d] WARNING: cannot shard chains={cfg.n_chains} "
+                  f"freqs={data.n_freq} over {n_dev} devices "
+                  f"(freq_devices={kf}); running single-device batched. "
+                  f"Adjust --chains/--freq-devices or pass --no-shard.")
+        else:
+            dev_mesh = make_device_mesh(n_dev // kf, kf)
+            print(f"[hmcmt2d] device mesh: chains={n_dev // kf} x freq={kf} "
+                  f"(warmup + checkpointing run SPMD)")
+
+    profiler = None
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+        profiler = args.profile
+
+    run = run_inversion(cfg, mesh, sigma2d, data, obs, err,
+                        solve_cfg=solve_cfg, device_mesh=dev_mesh,
+                        checkpoint_path=args.checkpoint or None,
+                        checkpoint_every=args.checkpoint_every,
+                        resume=args.resume, verbose=not args.quiet,
+                        progress_every=args.progress_every)
+    if profiler:
+        jax.profiler.stop_trace()
+        print(f"[hmcmt2d] profiler trace written to {profiler}")
+    problem, result, wall = run.problem, run.result, run.wall_time
 
     S, C, P = result.models.shape
     rate = float(np.asarray(result.accepts).mean())
     print(f"[hmcmt2d] done in {wall:.1f}s  ({S * C / wall:.2f} samples/s total, "
-          f"accept rate {rate:.2f})")
+          f"accept rate {rate:.2f}, nfevals {run.nfevals})")
 
-    O.write_posterior_models(problem, result.models, cfg.burnin, args.outdir)
+    O.write_posterior_models(problem, result.models, run.n_warm or cfg.burnin,
+                             args.outdir)
     for c in range(C):
         O.write_chain_outputs(result.models, result.stats, result.accepts,
                               result.pred, result.start_stats, chain=c,
-                              ichain=c + 1, cputime=wall, outdir=args.outdir)
+                              ichain=c + 1, cputime=wall, outdir=args.outdir,
+                              start_pred=result.start_pred)
     if C >= 2:
         rhat = np.asarray(D.split_rhat(result.models))
         print(f"[hmcmt2d] split-R-hat: max={rhat.max():.3f} "
@@ -141,8 +158,28 @@ def main(argv=None):
     runp.add_argument("--chains", type=int, default=0)
     runp.add_argument("--samples", type=int, default=0)
     runp.add_argument("--seed", type=int, default=None)
-    runp.add_argument("--freq-devices", type=int, default=1)
+    runp.add_argument("--freq-devices", type=int, default=1,
+                      help="devices on the frequency mesh axis")
+    runp.add_argument("--no-shard", action="store_true",
+                      help="force single-device batched sampling")
     runp.add_argument("--outdir", default=".")
+    runp.add_argument("--checkpoint", default="",
+                      help="checkpoint file path (enables periodic dumps)")
+    runp.add_argument("--checkpoint-every", type=int, default=0,
+                      help="samples per checkpoint segment")
+    runp.add_argument("--resume", action="store_true",
+                      help="resume from --checkpoint (bit-exact)")
+    runp.add_argument("--quiet", action="store_true",
+                      help="suppress per-segment progress lines")
+    runp.add_argument("--progress-every", type=int, default=0,
+                      help="segment length for progress lines (no checkpoint)")
+    runp.add_argument("--profile", default="",
+                      help="write a jax.profiler trace to this directory")
+    # multi-host (jax.distributed) flags
+    runp.add_argument("--coordinator", default="",
+                      help="coordinator address host:port for multi-host runs")
+    runp.add_argument("--num-processes", type=int, default=None)
+    runp.add_argument("--process-id", type=int, default=None)
     runp.set_defaults(func=cmd_run)
 
     fwdp = sub.add_parser("forward", help="forward-model the startup model")

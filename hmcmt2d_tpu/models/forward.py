@@ -50,6 +50,9 @@ class SolveConfig:
 
     solve_dtype: type = jnp.complex128
     refine_iters: int = 0
+    # "bcr" (block cyclic reduction, log2-depth — the TPU default) or
+    # "thomas" (block Thomas, nzi-sequential; less memory)
+    solver_method: str = "bcr"
 
     @property
     def real_dtype(self):
@@ -167,7 +170,7 @@ def solve_dirichlet(st: M.Stencil, omegas: jax.Array, bc: jax.Array,
     # bc is zero, so the interior rows of A@bc are exactly A_io @ bc_boundary
     rhs = -M.interior(M.apply_A(st_c, om[:, None, None], bc))
 
-    fac = S.factorize(sys, dtype=cfg.solve_dtype)
+    fac = S.factorize(sys, dtype=cfg.solve_dtype, method=cfg.solver_method)
     fac = jax.tree_util.tree_map(lax.stop_gradient, fac)
 
     def matvec(x):

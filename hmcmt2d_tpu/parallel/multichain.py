@@ -12,11 +12,19 @@ parallelism (parallelHMC.jl: one Julia worker per chain via
   device solves its frequency shard of the (freq x mode) systems and the
   data misfit/gradient are ``psum``-reduced over the axis — the axis the
   reference iterates sequentially (MT2DFwdSolver.jl:140-171);
+* warmup adaptation pools acceptance/variance statistics across the chains
+  axis with ``lax.pmean`` so the sharded run adapts exactly like the
+  single-device batched run pooling all its chains;
 * cross-chain diagnostics (R-hat/ESS) and posterior pooling run on the
   gathered samples.
 
 Multi-host: initialise with :func:`distributed_init` (jax.distributed), the
 same code then spans hosts with chains riding DCN and freq riding ICI.
+
+:class:`ShardedSampler` exposes ``warmup``/``run`` with the same signatures
+and semantics as :func:`hmcmt2d_tpu.sampler.adapt.warmup` and
+:func:`hmcmt2d_tpu.sampler.hmc.run_hmc`, so the driver can run its full
+warmup -> segmented/checkpointed main phase unchanged on a device mesh.
 """
 
 from __future__ import annotations
@@ -27,16 +35,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.posterior import InverseProblem
+from ..sampler import adapt as A
 from ..sampler import hmc as H
 
 
 def distributed_init(coordinator: str | None = None, num_processes: int | None = None,
                      process_id: int | None = None):
-    """Initialise multi-host JAX (jax.distributed.initialize); no-op args on
-    single host."""
+    """Initialise multi-host JAX (jax.distributed.initialize); no-op when no
+    coordinator is given (single host)."""
     if coordinator is None:
         return
     jax.distributed.initialize(coordinator_address=coordinator,
@@ -59,37 +68,52 @@ def make_device_mesh(n_chain_dev: int | None = None, n_freq_dev: int = 1,
     return Mesh(dev, ("chains", "freq"))
 
 
-def run_sharded_hmc(problem: InverseProblem, opts: H.HMCOptions,
-                    mass: H.MassMatrix, m_start: jax.Array, m_ref: jax.Array,
-                    n_samples: int, key, mesh: Mesh,
-                    sample_dtype=jnp.float32) -> H.HMCResult:
-    """Run HMC with chains sharded over mesh axis 'chains' and the PDE
-    frequency batch sharded over mesh axis 'freq'.
+def _pred_spec():
+    return P("chains", "freq")
 
-    ``m_start``/``m_ref`` are global (C, P) with C divisible by the chains
-    axis size; the survey's frequency count must be divisible by the freq
-    axis size.  Returns globally assembled results (same semantics as
-    :func:`hmcmt2d_tpu.sampler.hmc.run_hmc`).
+
+_STATE_SPEC = H.ChainState(m=P("chains"), grad=P("chains"), misfit=P("chains"),
+                           mnorm=P("chains"), pred=P("chains", "freq"))
+
+_RESULT_SPEC = H.HMCResult(
+    models=P(None, "chains"), stats=P(None, "chains"),
+    accepts=P(None, "chains"), pred=P(None, "chains", "freq"),
+    final=_STATE_SPEC, start_stats=P("chains"),
+    start_pred=P("chains", "freq"), lf_steps=P(None, "chains"))
+
+
+class ShardedSampler:
+    """Shard-mapped warmup + sampling over a (chains, freq) device mesh.
+
+    The interior carried :class:`ChainState` keeps its ``pred`` leaf as the
+    *local dense response cube* reshaped to (local chains, local freq, rest);
+    the returned :class:`HMCResult` has ``pred``/``start_pred`` masked onto
+    the observed data triples so callers see exactly what the single-device
+    sampler returns, while ``final`` keeps the cube form so it can feed the
+    next segment or a checkpoint/resume cycle.
     """
-    data = problem.fwd.data
-    n_freq_dev = mesh.shape["freq"]
-    n_chain_dev = mesh.shape["chains"]
-    C = m_start.shape[0]
-    if C % n_chain_dev or data.n_freq % n_freq_dev:
-        raise ValueError(
-            f"chains ({C}) and frequencies ({data.n_freq}) must divide the "
-            f"mesh axes {dict(mesh.shape)}")
 
-    obs_cube, w_cube = problem.cube_arrays()
-    freqs = jnp.asarray(data.freqs)
-    obs_cube = jnp.asarray(obs_cube)
-    w_cube = jnp.asarray(w_cube)
-    reg = opts.reg_param
+    def __init__(self, problem: InverseProblem, reg: float, mesh: Mesh):
+        self.problem = problem
+        self.reg = reg
+        self.mesh = mesh
+        data = problem.fwd.data
+        self.n_freq_dev = mesh.shape["freq"]
+        self.n_chain_dev = mesh.shape["chains"]
+        if data.n_freq % self.n_freq_dev:
+            raise ValueError(
+                f"frequencies ({data.n_freq}) must divide the freq mesh axis "
+                f"({self.n_freq_dev})")
+        obs_cube, w_cube = problem.cube_arrays()
+        self.freqs = jnp.asarray(data.freqs)
+        self.obs_cube = jnp.asarray(obs_cube)
+        self.w_cube = jnp.asarray(w_cube)
+        self.flat_index = jnp.asarray(data.flat_index)
+        self._jitted = {}
 
-    prior_scale = 1.0 / n_freq_dev
-
-    def potential_vg(m, m_ref_, freqs_l, obs_l, w_l):
-        """Batched over local chains, reduced over the freq mesh axis.
+    # -- potential ---------------------------------------------------------
+    def _potential_vg(self, freqs_l, obs_l, w_l):
+        """Batched over local chains, psum-reduced over the freq mesh axis.
 
         The local potential carries this shard's misfit plus 1/k of the
         (replicated) prior; psum of both the value and the gradient over
@@ -98,41 +122,136 @@ def run_sharded_hmc(problem: InverseProblem, opts: H.HMCOptions,
         the local contribution — the transpose of psum is identity on a
         replicated cotangent — so the gradient must be psum'd explicitly.)
         """
+        problem, reg = self.problem, self.reg
+        prior_scale = 1.0 / self.n_freq_dev
 
-        def single(mm, mr):
-            return problem.potential_cube(mm, mr, reg, freqs_l, obs_l, w_l,
-                                          prior_scale=prior_scale)
+        def vg(m, m_ref_):
+            def single(mm, mr):
+                return problem.potential_cube(mm, mr, reg, freqs_l, obs_l, w_l,
+                                              prior_scale=prior_scale)
 
-        (U, (mis, mn, pred)), g = jax.vmap(
-            jax.value_and_grad(single, has_aux=True))(m, m_ref_)
-        U, mis, mn, g = lax.psum((U, mis, mn, g), "freq")
-        return (U, (mis, mn, pred)), g
+            (U, (mis, mn, pred)), g = jax.vmap(
+                jax.value_and_grad(single, has_aux=True))(m, m_ref_)
+            U, mis, mn, g = lax.psum((U, mis, mn, g), "freq")
+            return (U, (mis, mn, pred)), g
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("chains"), P("chains"), P("freq"), P("freq"), P("freq"), P()),
-             out_specs=H.HMCResult(
-                 models=P(None, "chains"), stats=P(None, "chains"),
-                 accepts=P(None, "chains"),
-                 pred=P(None, "chains", "freq"),
-                 final=H.ChainState(m=P("chains"), grad=P("chains"),
-                                    misfit=P("chains"), mnorm=P("chains"),
-                                    pred=P("chains", "freq")),
-                 start_stats=P("chains")),
-             check_vma=False)
-    def sharded_run(m0_l, mref_l, freqs_l, obs_l, w_l, key):
+        return vg
+
+    def _chain_key(self, key):
         # distinct RNG per chains-shard, identical across the freq axis so
         # every freq-shard of a chain sees the same momenta/accept draws
-        key_l = jax.random.fold_in(key, lax.axis_index("chains"))
-        vg = lambda m, mr: potential_vg(m, mr, freqs_l, obs_l, w_l)
-        res = H.run_hmc(vg, opts, mass, m0_l, mref_l, n_samples, key_l,
-                        sample_dtype=sample_dtype)
-        # reshape pred (.., nfreq_l*nrx*ncomp) to expose the freq axis for
-        # global assembly
-        nf_l = freqs_l.shape[0]
-        def split_pred(p):
-            return p.reshape(p.shape[:-1] + (nf_l, -1))
-        res = res._replace(pred=split_pred(res.pred),
-                           final=res.final._replace(pred=split_pred(res.final.pred)))
-        return res
+        return jax.random.fold_in(key, lax.axis_index("chains"))
 
-    return sharded_run(m_start, m_ref, freqs, obs_cube, w_cube, key)
+    def _split_cube(self, res: H.HMCResult, nf_l: int) -> H.HMCResult:
+        def split(p):
+            return p.reshape(p.shape[:-1] + (nf_l, -1))
+        return res._replace(pred=split(res.pred),
+                            start_pred=split(res.start_pred),
+                            final=res.final._replace(pred=split(res.final.pred)))
+
+    def _mask(self, res: H.HMCResult) -> H.HMCResult:
+        """Mask the gathered dense cubes onto the observed (freq, rx, comp)
+        triples — global postprocessing outside shard_map."""
+        idx = self.flat_index
+
+        def mask(p):
+            return p.reshape(p.shape[:-2] + (-1,))[..., idx]
+
+        return res._replace(pred=mask(res.pred), start_pred=mask(res.start_pred))
+
+    # -- sampling ----------------------------------------------------------
+    def run(self, opts: H.HMCOptions, mass: H.MassMatrix, m_start, m_ref,
+            n_samples: int, key, init_state: H.ChainState | None = None,
+            key_offset: int = 0) -> H.HMCResult:
+        """Sharded equivalent of :func:`hmc.run_hmc` (same per-chain-shard key
+        schedule; ``key_offset`` is a pure function of the global sample index
+        so segmented/resumed runs are bit-exact, as in the driver).
+
+        ``opts`` (incl. the possibly warmup-adapted ``dt``) is static: a new
+        value retraces, which happens once per run.  ``key_offset`` is traced.
+        """
+        C = m_start.shape[0]
+        if C % self.n_chain_dev:
+            raise ValueError(f"chains ({C}) must divide the chains mesh axis "
+                             f"({self.n_chain_dev})")
+        cache_key = ("run", n_samples, init_state is not None,
+                     bool(mass.diagonal), opts)
+        if cache_key not in self._jitted:
+            diag = bool(mass.diagonal)
+            has_init = init_state is not None
+
+            in_specs = (P("chains"), P("chains"), P("freq"), P("freq"), P("freq"),
+                        P(), (P(), P()), P()) + ((_STATE_SPEC,) if has_init else ())
+
+            @partial(jax.shard_map, mesh=self.mesh, in_specs=in_specs,
+                     out_specs=_RESULT_SPEC, check_vma=False)
+            def sharded_run(m0_l, mref_l, freqs_l, obs_l, w_l, key, mass_arrs,
+                            key_off, *maybe_state):
+                vg = self._potential_vg(freqs_l, obs_l, w_l)
+                key_l = self._chain_key(key)
+                mass_l = H.MassMatrix(mass_arrs[0], mass_arrs[1], diag)
+                st = None
+                if maybe_state:
+                    st = maybe_state[0]
+                    st = st._replace(pred=st.pred.reshape(st.pred.shape[:-2] + (-1,)))
+                res = H.run_hmc(vg, opts, mass_l, m0_l, mref_l, n_samples,
+                                key_l, init_state=st, key_offset=key_off)
+                return self._split_cube(res, freqs_l.shape[0])
+
+            self._jitted[cache_key] = jax.jit(sharded_run)
+
+        args = (m_start, m_ref, self.freqs, self.obs_cube, self.w_cube, key,
+                (mass.sqrt_m, mass.inv_m), jnp.asarray(key_offset))
+        if init_state is not None:
+            args = args + (init_state,)
+        res = self._jitted[cache_key](*args)
+        return self._mask(res)
+
+    # -- warmup ------------------------------------------------------------
+    def warmup(self, opts: H.HMCOptions, m0, m_ref, n_warm: int, key,
+               wopts: A.WarmupOptions | None = None):
+        """Sharded equivalent of :func:`adapt.warmup`: dual-averaging step
+        size + windowed diagonal mass, statistics pooled across the local
+        chain batch AND the chains mesh axis (``pool_axis='chains'``)."""
+        C = m0.shape[0]
+        if C % self.n_chain_dev:
+            raise ValueError(f"chains ({C}) must divide the chains mesh axis "
+                             f"({self.n_chain_dev})")
+        wopts = wopts or A.WarmupOptions()
+        cache_key = ("warmup", n_warm, opts, wopts)
+        if cache_key not in self._jitted:
+            out_specs = (_RESULT_SPEC, _STATE_SPEC, (P(), P()),
+                         A.WarmupInfo(dt=P(), inv_m=P(), alpha_mean=P()))
+
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P("chains"), P("chains"), P("freq"), P("freq"),
+                               P("freq"), P()),
+                     out_specs=out_specs, check_vma=False)
+            def sharded_warmup(m0_l, mref_l, freqs_l, obs_l, w_l, key):
+                vg = self._potential_vg(freqs_l, obs_l, w_l)
+                key_l = self._chain_key(key)
+                result, state, mass, info = A.warmup(
+                    vg, opts, m0_l, mref_l, n_warm, key_l, wopts,
+                    pool_axis="chains")
+                result = self._split_cube(result, freqs_l.shape[0])
+                state = state._replace(
+                    pred=state.pred.reshape(state.pred.shape[:-1]
+                                            + (freqs_l.shape[0], -1)))
+                return result, state, (mass.sqrt_m, mass.inv_m), info
+
+            self._jitted[cache_key] = jax.jit(sharded_warmup)
+
+        result, state, (sq, im), info = self._jitted[cache_key](
+            m0, m_ref, self.freqs, self.obs_cube, self.w_cube, key)
+        mass = H.MassMatrix(sqrt_m=sq, inv_m=im, diagonal=True)
+        return self._mask(result), state, mass, info
+
+
+def run_sharded_hmc(problem: InverseProblem, opts: H.HMCOptions,
+                    mass: H.MassMatrix, m_start: jax.Array, m_ref: jax.Array,
+                    n_samples: int, key, mesh: Mesh,
+                    sample_dtype=jnp.float32) -> H.HMCResult:
+    """One-shot sharded run (no warmup/segments): thin wrapper over
+    :class:`ShardedSampler` kept for API compatibility."""
+    return ShardedSampler(problem, opts.reg_param, mesh).run(
+        opts, mass, m_start, m_ref, n_samples, key)

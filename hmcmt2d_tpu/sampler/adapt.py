@@ -138,11 +138,13 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
             jnp.zeros((P,), m0.dtype))
     alpha_acc0 = (jnp.zeros(()), jnp.zeros(()))
 
+    n_chains = m0.shape[0]
+
     def body(carry, inputs):
         state, da, inv_m, acc, alpha_acc = carry
         k, is_end = inputs
         mass = MassMatrix(sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
-        new, accept, stats, alpha = step(state, k, m_ref, jnp.exp(da.log_eps), mass)
+        new, accept, stats, alpha, L = step(state, k, m_ref, jnp.exp(da.log_eps), mass)
 
         alpha_mean = pool_mean(alpha)
         da = _da_update(da, alpha_mean, w)
@@ -172,10 +174,12 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
 
         out = (new.m.astype(sample_dtype), stats, accept,
                new.pred.astype(jnp.complex64 if jnp.iscomplexobj(new.pred)
-                               else jnp.float32))
+                               else jnp.float32),
+               jnp.broadcast_to(L.astype(jnp.int32), (n_chains,)))
         return (new, da, inv_m, (n, s1, s2), alpha_acc), out
 
-    (state, da, inv_m, _, (an, asum)), (models, stats, accepts, pred) = lax.scan(
+    init_state = state
+    (state, da, inv_m, _, (an, asum)), (models, stats, accepts, pred, lf) = lax.scan(
         body, (state, da0, inv_m0, acc0, alpha_acc0), (keys, ends))
 
     dt = jnp.exp(da.log_eps_avg)
@@ -185,6 +189,9 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
     ke = mass.kinetic(mass.draw(jax.random.fold_in(key, 3), m0.shape))
     start_stats = jnp.stack([state.misfit, state.mnorm, ke,
                              state.misfit + state.mnorm + ke], axis=-1)
+    start_pred = init_state.pred.astype(
+        jnp.complex64 if jnp.iscomplexobj(init_state.pred) else jnp.float32)
     result = HMCResult(models=models, stats=stats, accepts=accepts, pred=pred,
-                       final=state, start_stats=start_stats)
+                       final=state, start_stats=start_stats,
+                       start_pred=start_pred, lf_steps=lf)
     return result, state, mass, info

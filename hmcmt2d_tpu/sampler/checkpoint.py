@@ -20,13 +20,13 @@ import numpy as np
 from . import hmc as H
 
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def save_checkpoint(path: str, *, n_done: int, state: H.ChainState, key,
                     dt: float, mass: H.MassMatrix, m_ref,
-                    models, stats, accepts, pred, start_stats,
-                    n_warm: int, wall_time: float) -> None:
+                    models, stats, accepts, pred, lf_steps, start_stats,
+                    start_pred, n_warm: int, wall_time: float) -> None:
     """Atomic (write-then-rename) checkpoint dump."""
     tmp = path + ".tmp"
     np.savez(
@@ -50,7 +50,9 @@ def save_checkpoint(path: str, *, n_done: int, state: H.ChainState, key,
         stats=np.asarray(stats),
         accepts=np.asarray(accepts),
         pred=np.asarray(pred),
+        lf_steps=np.asarray(lf_steps),
         start_stats=np.asarray(start_stats),
+        start_pred=np.asarray(start_pred),
     )
     # numpy appends .npz to the temp name
     os.replace(tmp if os.path.exists(tmp) else tmp + ".npz", path)
@@ -86,5 +88,7 @@ def load_checkpoint(path: str) -> dict:
             stats=np.asarray(z["stats"]),
             accepts=np.asarray(z["accepts"]),
             pred=np.asarray(z["pred"]),
+            lf_steps=np.asarray(z["lf_steps"]),
             start_stats=np.asarray(z["start_stats"]),
+            start_pred=np.asarray(z["start_pred"]),
         )

@@ -29,6 +29,15 @@ class InversionRun:
     config: HMCConfig
     m_ref: np.ndarray       # (C, P) per-chain reference/start models
     wall_time: float
+    n_warm: int = 0         # warmup iterations included at the head of result
+
+    @property
+    def nfevals(self) -> int:
+        """Total gradient (forward+adjoint PDE sweep) evaluations across all
+        chains — the reference's nfevals counter (HMCStruct.jl:34,
+        HMCSampler.jl:217,252), plus one init evaluation per chain."""
+        lf = np.asarray(self.result.lf_steps)
+        return int(lf.sum()) + lf.shape[1]
 
 
 def make_potential_vg(problem: InverseProblem, reg: float):
@@ -79,15 +88,31 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                   n_samples: int | None = None,
                   checkpoint_path: str | None = None,
                   checkpoint_every: int = 0,
-                  resume: bool = False) -> InversionRun:
-    """End-to-end single-host inversion: all chains advance in one jitted
-    scan, batched through the PDE solves.
+                  resume: bool = False,
+                  device_mesh=None,
+                  verbose: bool = False,
+                  progress_every: int = 0) -> InversionRun:
+    """End-to-end inversion: all chains advance in one jitted scan, batched
+    through the PDE solves.
+
+    With ``device_mesh`` (a jax Mesh with axes 'chains', 'freq') the whole
+    pipeline — warmup adaptation, segmented sampling, checkpoint/resume —
+    runs SPMD via :class:`hmcmt2d_tpu.parallel.multichain.ShardedSampler`
+    with identical semantics (statistics pooled across the chains axis,
+    misfit/gradient psum'd over the freq axis).
 
     With ``checkpoint_path`` set, the post-warmup phase runs in
     ``checkpoint_every``-sample segments and dumps the full sampler state
     after each; ``resume=True`` continues from that file bit-exactly (the
-    per-segment PRNG keys are derived as fold_in(key_main, segment), so the
-    sample stream matches an uninterrupted run).
+    per-sample PRNG keys are a pure function of the global sample index, so
+    the sample stream matches an uninterrupted run).  A checkpoint must be
+    resumed on the same path kind it was written from (sharded vs single
+    device) — the carried predicted-data layout differs.
+
+    ``verbose`` prints per-phase progress lines (the reference prints
+    per-iteration misfit/accept lines, HMCSampler.jl:145-166; one line per
+    jitted segment is the batched equivalent — set ``progress_every`` to
+    force shorter segments for more frequent lines).
     """
     from . import checkpoint as C
 
@@ -103,10 +128,19 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
     vg = make_potential_vg(problem, cfg.reg_param)
     opts = hmc_options(cfg)
 
+    sharded = None
+    if device_mesh is not None:
+        from ..parallel.multichain import ShardedSampler
+        sharded = ShardedSampler(problem, cfg.reg_param, device_mesh)
+
+    def log(msg):
+        if verbose:
+            print(f"[hmcmt2d] {msg}", flush=True)
+
     t0 = time.time()
     wall_prev = 0.0
-    chunks: list[H.HMCResult | None] = []
-    acc_models, acc_stats, acc_accepts, acc_pred = [], [], [], []
+    acc_models, acc_stats, acc_accepts, acc_pred, acc_lf = [], [], [], [], []
+    start_stats = start_pred = None
 
     if resume:
         if not (checkpoint_path and os.path.exists(checkpoint_path)):
@@ -118,12 +152,17 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         key_main = ck["key"]
         opts = dataclasses.replace(opts, dt=ck["dt"])
         m_ref = jnp.asarray(ck["m_ref"])
+        m_start = m_ref
         start_stats = jnp.asarray(ck["start_stats"])
+        start_pred = jnp.asarray(ck["start_pred"])
         wall_prev = ck["wall_time"]
         acc_models.append(ck["models"])
         acc_stats.append(ck["stats"])
         acc_accepts.append(ck["accepts"])
         acc_pred.append(ck["pred"])
+        acc_lf.append(ck["lf_steps"])
+        log(f"resumed {checkpoint_path}: {n_done}/{n_samples - n_warm} main "
+            f"samples done, dt={opts.dt:.4g}")
     else:
         n_done = 0
         m_start = H.random_homogeneous_start(key_start, m0_file, n_chains)
@@ -135,46 +174,69 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             n_warm = min(cfg.burnin, n_samples)
             wopts = A.WarmupOptions(target_accept=cfg.target_accept)
             key_warm, key_main = jax.random.split(key_run)
-            wrun = jax.jit(lambda m0, mref, k: A.warmup(vg, opts, m0, mref,
-                                                        n_warm, k, wopts))
-            wres, state, mass, info = wrun(m_start, m_ref, key_warm)
+            if sharded is not None:
+                wres, state, mass, info = sharded.warmup(
+                    opts, m_start, m_ref, n_warm, key_warm, wopts)
+            else:
+                wrun = jax.jit(lambda m0, mref, k: A.warmup(vg, opts, m0, mref,
+                                                            n_warm, k, wopts))
+                wres, state, mass, info = wrun(m_start, m_ref, key_warm)
             jax.block_until_ready(wres.models)
             opts = dataclasses.replace(opts, dt=float(info.dt))
-        else:
-            n_warm = 0
-            key_main = key_run
-            wres = None
-            state = None
-        if wres is not None:
             start_stats = wres.start_stats
+            start_pred = wres.start_pred
             acc_models.append(np.asarray(wres.models))
             acc_stats.append(np.asarray(wres.stats))
             acc_accepts.append(np.asarray(wres.accepts))
             acc_pred.append(np.asarray(wres.pred))
+            acc_lf.append(np.asarray(wres.lf_steps))
+            log(f"warmup {n_warm} iters in {time.time() - t0:.1f}s: adapted "
+                f"dt={opts.dt:.4g}, accept~{float(info.alpha_mean):.2f}, "
+                f"misfit {float(np.asarray(start_stats)[:, 0].mean()):.4g} -> "
+                f"{float(np.asarray(wres.stats)[-1, :, 0].mean()):.4g}")
         else:
-            state = H.sample_chain_init(vg, m_start, m_ref)
-            ke = mass.kinetic(mass.draw(jax.random.fold_in(key_main, 0), m_start.shape))
-            start_stats = jnp.stack([state.misfit, state.mnorm, ke,
-                                     state.misfit + state.mnorm + ke], axis=-1)
+            n_warm = 0
+            key_main = key_run
+            state = None   # first segment initialises itself (same key stream)
 
     n_main = n_samples - n_warm
     # per-sample keys are a pure function of the global sample index (run_hmc's
     # key_offset), so ANY segmentation — including a resume from a checkpoint
     # written under a different total-sample count — yields the same stream
-    segs = _segment_plan(n_main - n_done, checkpoint_every)
+    every = checkpoint_every if checkpoint_every else progress_every
+    segs = _segment_plan(n_main - n_done, every)
     runs = {}
     for n_seg in segs:
-        if n_seg not in runs:
-            runs[n_seg] = jax.jit(lambda st, mref, k, off, n=n_seg: H.run_hmc(
-                vg, opts, mass, st.m, mref, n, k, init_state=st, key_offset=off))
-        res = runs[n_seg](state, m_ref, key_main, n_done)
+        t_seg = time.time()
+        if sharded is not None:
+            res = sharded.run(opts, mass,
+                              state.m if state is not None else m_start,
+                              m_ref, n_seg, key_main,
+                              init_state=state, key_offset=n_done)
+        else:
+            rkey = (n_seg, state is None)
+            if rkey not in runs:
+                runs[rkey] = jax.jit(
+                    lambda st, m0, mref, k, off, n=n_seg: H.run_hmc(
+                        vg, opts, mass, st.m if st is not None else m0, mref,
+                        n, k, init_state=st, key_offset=off))
+            res = runs[rkey](state, m_start, m_ref, key_main, n_done)
         jax.block_until_ready(res.models)
         state = res.final
         n_done += n_seg
+        if start_stats is None:
+            start_stats = res.start_stats
+            start_pred = res.start_pred
         acc_models.append(np.asarray(res.models))
         acc_stats.append(np.asarray(res.stats))
         acc_accepts.append(np.asarray(res.accepts))
         acc_pred.append(np.asarray(res.pred))
+        acc_lf.append(np.asarray(res.lf_steps))
+        log(f"samples {n_done - n_seg + 1}..{n_done}/{n_main}: "
+            f"misfit={float(np.asarray(res.stats)[-1, :, 0].mean()):.4g} "
+            f"accept={float(np.asarray(res.accepts).mean()):.2f} "
+            f"dt={opts.dt:.4g} "
+            f"({n_seg * res.models.shape[1] / (time.time() - t_seg):.2f} samples/s)")
         if checkpoint_path:
             C.save_checkpoint(
                 checkpoint_path, n_done=n_done, state=state, key=key_main,
@@ -183,7 +245,9 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                 stats=np.concatenate(acc_stats),
                 accepts=np.concatenate(acc_accepts),
                 pred=np.concatenate(acc_pred),
+                lf_steps=np.concatenate(acc_lf),
                 start_stats=np.asarray(start_stats),
+                start_pred=np.asarray(start_pred),
                 n_warm=n_warm, wall_time=wall_prev + time.time() - t0)
 
     result = H.HMCResult(
@@ -191,8 +255,10 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         stats=jnp.asarray(np.concatenate(acc_stats)),
         accepts=jnp.asarray(np.concatenate(acc_accepts)),
         pred=jnp.asarray(np.concatenate(acc_pred)),
-        final=state, start_stats=jnp.asarray(start_stats))
+        final=state, start_stats=jnp.asarray(start_stats),
+        start_pred=jnp.asarray(start_pred),
+        lf_steps=jnp.asarray(np.concatenate(acc_lf)))
     wall = wall_prev + time.time() - t0
 
     return InversionRun(problem=problem, result=result, config=cfg,
-                        m_ref=np.asarray(m_ref), wall_time=wall)
+                        m_ref=np.asarray(m_ref), wall_time=wall, n_warm=n_warm)

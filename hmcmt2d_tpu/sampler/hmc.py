@@ -109,6 +109,10 @@ class HMCResult(NamedTuple):
     pred: jax.Array      # (S, C, D) predicted data of the current model
     final: ChainState
     start_stats: jax.Array  # (C, 4) initial [misfit, mnorm, ke, h]
+    start_pred: jax.Array   # (C, D) predicted data of the start model (the
+                            # reference's extra first row, HMCSampler.jl:801-808)
+    lf_steps: jax.Array     # (S, C) leapfrog steps per iteration — the
+                            # gradient-eval counter (nfevals, HMCStruct.jl:34)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -201,7 +205,7 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions):
         new = ChainState(*(pick(a, b) for a, b in zip(prop, state)))
         stats = jnp.stack([new.misfit, new.mnorm, ke0,
                            new.misfit + new.mnorm + ke0], axis=-1)
-        return new, accept, stats, alpha
+        return new, accept, stats, alpha, L
 
     return sample_step
 
@@ -243,15 +247,21 @@ def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
     keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(
         key_offset + jnp.arange(n_samples))
 
+    def _pred_cast(p):
+        return p.astype(jnp.complex64 if jnp.iscomplexobj(p) else jnp.float32)
+
+    n_chains = m0.shape[0]
+
     def body(state, k):
-        new, accept, stats, _alpha = step(state, k, m_ref, opts.dt, mass)
-        out = (new.m.astype(sample_dtype), stats, accept,
-               new.pred.astype(jnp.complex64 if jnp.iscomplexobj(new.pred) else jnp.float32))
+        new, accept, stats, _alpha, L = step(state, k, m_ref, opts.dt, mass)
+        out = (new.m.astype(sample_dtype), stats, accept, _pred_cast(new.pred),
+               jnp.broadcast_to(L.astype(jnp.int32), (n_chains,)))
         return new, out
 
-    final, (models, stats, accepts, pred) = lax.scan(body, state, keys)
+    final, (models, stats, accepts, pred, lf) = lax.scan(body, state, keys)
     return HMCResult(models=models, stats=stats, accepts=accepts, pred=pred,
-                     final=final, start_stats=start_stats)
+                     final=final, start_stats=start_stats,
+                     start_pred=_pred_cast(state.pred), lf_steps=lf)
 
 
 def random_homogeneous_start(key, m0_file: np.ndarray, n_chains: int):

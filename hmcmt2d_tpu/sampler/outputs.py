@@ -52,12 +52,12 @@ def write_posterior_models(problem: InverseProblem, models, burnin: int,
 
 def write_chain_outputs(models, stats, accepts, pred, start_stats,
                         chain: int = 0, ichain: int = 1, cputime: float = 0.0,
-                        outdir: str = "."):
+                        outdir: str = ".", start_pred=None):
     """Per-chain sample/data/statistics files (outputHMCSamples).
 
     ``models`` (S, C, P), ``stats`` (S, C, 4), ``accepts`` (S, C),
-    ``pred`` (S, C, D), ``start_stats`` (C, 4); ``chain`` selects the batch
-    column, ``ichain`` the 1-based file id.
+    ``pred`` (S, C, D), ``start_stats`` (C, 4), ``start_pred`` (C, D);
+    ``chain`` selects the batch column, ``ichain`` the 1-based file id.
     """
     models = np.asarray(models)[:, chain]
     stats = np.asarray(stats)[:, chain]
@@ -70,15 +70,16 @@ def write_chain_outputs(models, stats, accepts, pred, start_stats,
         for k in range(S):
             f.write("".join("%8.4e " % v for v in models[k]) + "\n")
 
+    # S+1 rows: the start-model predicted data first, as the reference writes
+    # (outputHMCSamples, HMCSampler.jl:801-808)
+    rows = pred if start_pred is None else np.concatenate(
+        [np.asarray(start_pred)[None, chain], pred])
     with open(os.path.join(outdir, f"hmcsamples_id{ichain}.data"), "w") as f:
-        # first row = predicted data of the starting model is not retained in
-        # the batched sampler; the reference writes S+1 rows (the start row),
-        # we write the S per-iteration rows
-        for k in range(S):
-            if np.iscomplexobj(pred):
-                f.write("".join("%12.4e %12.4e" % (v.real, v.imag) for v in pred[k]) + "\n")
+        for row in rows:
+            if np.iscomplexobj(rows):
+                f.write("".join("%12.4e %12.4e" % (v.real, v.imag) for v in row) + "\n")
             else:
-                f.write("".join("%12.4e" % v for v in pred[k]) + "\n")
+                f.write("".join("%12.4e" % v for v in row) + "\n")
 
     n_accept = int(accepts.sum())
     with open(os.path.join(outdir, f"hmcstatistics_id{ichain}.log"), "w") as f:

@@ -61,17 +61,32 @@ def test_end_to_end_inversion(tmp_path):
     smax, smin = np.asarray(res.models).max(), np.asarray(res.models).min()
     assert smin >= np.log(1e-4) - 1e-5 and smax <= np.log(10.0) + 1e-5
 
+    # nfevals counter: each iteration runs L in [timestep] leapfrog steps
+    lf = np.asarray(res.lf_steps)
+    assert lf.shape == (S, C)
+    assert lf.min() >= 2 and lf.max() <= 3
+    assert run.nfevals == int(lf.sum()) + C
+
     # outputs in reference-compatible formats
     O.write_posterior_models(run.problem, res.models, cfg.burnin, str(tmp_path))
     O.write_chain_outputs(res.models, res.stats, res.accepts, res.pred,
                           res.start_stats, chain=0, ichain=1,
-                          cputime=run.wall_time, outdir=str(tmp_path))
+                          cputime=run.wall_time, outdir=str(tmp_path),
+                          start_pred=res.start_pred)
     mesh2, mean_sig = read_model(tmp_path / "meanModel.model")
     assert mean_sig.shape == (mesh.nz, mesh.ny)
     assert np.all(mean_sig[:mesh.n_air] == SIGMA_AIR)
     log_lines = (tmp_path / "hmcstatistics_id1.log").read_text().splitlines()
     assert log_lines[1].startswith("Totalsamples:     25")
     assert len(log_lines) == 4 + 25
+
+    # .data file carries S+1 rows: the start-model row first
+    # (outputHMCSamples, HMCSampler.jl:801-808)
+    data_lines = (tmp_path / "hmcsamples_id1.data").read_text().splitlines()
+    assert len(data_lines) == S + 1
+    row0 = np.array(data_lines[0].split(), float)
+    want0 = np.asarray(res.start_pred)[0]
+    np.testing.assert_allclose(row0[0::2] + 1j * row0[1::2], want0, rtol=2e-4)
 
     # diagnostics run
     rhat = np.asarray(D.split_rhat(res.models))

@@ -82,6 +82,69 @@ def test_low_precision_factor_with_refinement():
     assert err2 < err0
 
 
+def test_bcr_matches_thomas_and_scipy():
+    """Block cyclic reduction vs block Thomas vs scipy, both modes, wide
+    frequency range — the two direct methods must agree to fp accuracy."""
+    for mode in ("TE", "TM"):
+        for freq in (0.01, 1.0, 100.0):
+            msh, st, omega, Aii, (nzi, nyi) = _problem(mode, freq=freq)
+            sys = S.interior_system(st, omega)
+            rng = np.random.default_rng(29)
+            b = rng.standard_normal((nzi, nyi)) + 1j * rng.standard_normal((nzi, nyi))
+            want = spla.spsolve(Aii, b.ravel()).reshape(nzi, nyi)
+            for method in ("bcr", "thomas"):
+                fac = S.factorize(sys, method=method)
+                x = np.asarray(S.factor_solve(fac, jnp.asarray(b)))
+                np.testing.assert_allclose(
+                    x, want, rtol=1e-8, atol=1e-10 * np.abs(want).max(),
+                    err_msg=f"{mode} f={freq} {method}")
+
+
+def test_bcr_odd_block_counts():
+    """Padding: nzi not of 2^m - 1 form, including tiny meshes."""
+    for ny, nz in ((6, 2), (6, 3), (7, 4), (9, 6), (12, 9), (8, 17)):
+        msh, st, omega, Aii, (nzi, nyi) = _problem("TE", ny=ny, nz=nz)
+        sys = S.interior_system(st, omega)
+        rng = np.random.default_rng(31)
+        b = rng.standard_normal((nzi, nyi)) + 1j * rng.standard_normal((nzi, nyi))
+        want = spla.spsolve(Aii, b.ravel()).reshape(nzi, nyi)
+        fac = S.factorize(sys, method="bcr")
+        x = np.asarray(S.factor_solve(fac, jnp.asarray(b)))
+        np.testing.assert_allclose(x, want, rtol=1e-8,
+                                   atol=1e-10 * np.abs(want).max(),
+                                   err_msg=f"nzi={nzi}")
+
+
+def test_bcr_batched_and_refined():
+    """BCR under vmap (the production batch axis) and with low-precision
+    factor + refinement (the TPU configuration)."""
+    msh, st, omega0, _, (nzi, nyi) = _problem("TM")
+    freqs = np.array([0.05, 0.5, 5.0])
+    omegas = 2 * np.pi * freqs
+    rng = np.random.default_rng(37)
+    b = rng.standard_normal((3, nzi, nyi)) + 1j * rng.standard_normal((3, nzi, nyi))
+    sys_b = S.interior_system(st, jnp.asarray(omegas)[:, None, None])
+    fac_b = S.factorize(sys_b, method="bcr")
+    x_b = np.asarray(S.factor_solve(fac_b, jnp.asarray(b)))
+    for i, om in enumerate(omegas):
+        sys_i = S.interior_system(st, om)
+        _, _, _, Aii_i = None, None, None, None
+        dy, dz = np.asarray(msh.y_len), np.asarray(msh.z_len)
+        x_i = np.asarray(S.direct_solve(sys_i, jnp.asarray(b[i])))
+        np.testing.assert_allclose(x_b[i], x_i, rtol=1e-9)
+
+    sys64 = S.interior_system(st, 2 * np.pi * 0.5)
+    sys32 = S.interior_system(st, 2 * np.pi * 0.5, dtype=jnp.complex64)
+    fac32 = S.factorize(sys32, dtype=jnp.complex64, method="bcr")
+    b1 = b[1]
+    x_ref = np.asarray(S.direct_solve(sys64, jnp.asarray(b1)))
+    x_ref32 = np.asarray(S.factor_solve(fac32, jnp.asarray(b1, jnp.complex64)))
+    x_refn = np.asarray(S.refined_solve(sys64, fac32, jnp.asarray(b1), iters=3))
+    err32 = np.abs(x_ref32 - x_ref).max() / np.abs(x_ref).max()
+    errn = np.abs(x_refn - x_ref).max() / np.abs(x_ref).max()
+    assert errn < 1e-10 and errn < err32, (err32, errn)
+
+
 def test_batched_over_frequency():
     msh, st, omega0, _, (nzi, nyi) = _problem("TE")
     freqs = np.array([0.05, 0.5, 5.0])
