@@ -50,8 +50,11 @@ class SolveConfig:
 
     solve_dtype: type = jnp.complex128
     refine_iters: int = 0
-    # "bcr" (block cyclic reduction, log2-depth — the TPU default) or
-    # "thomas" (block Thomas, nzi-sequential; less memory)
+    # "bcr" (block cyclic reduction, log2-depth) or "thomas" (block Thomas,
+    # nzi-sequential; less memory).  BCR is the default for CPU and is the
+    # asymptotically better layout; the tunneled TPU runtime available to CI
+    # currently miscompiles the BCR program (tracked in bench notes), so the
+    # TPU default_config selects "thomas".
     solver_method: str = "bcr"
 
     @property
@@ -62,7 +65,7 @@ class SolveConfig:
 def default_config() -> SolveConfig:
     if jax.config.jax_enable_x64 and jax.default_backend() == "cpu":
         return SolveConfig(jnp.complex128, 0)
-    return SolveConfig(jnp.complex64, 1)
+    return SolveConfig(jnp.complex64, 1, "thomas")
 
 
 class RxInterp(NamedTuple):
@@ -121,6 +124,41 @@ def boundary_profiles(mesh: M.TensorMesh2D, sigma2d: jax.Array) -> jax.Array:
     return cols.T
 
 
+def _bc_from_profile_field(mesh, f, nfreq, dtype):
+    """Scatter normalised 1-D profile fields (nfreq, ny+1, nz+1) onto the
+    Dirichlet boundary ring of the node grid."""
+    ny, nz = mesh.ny, mesh.nz
+    f = f / f[..., :1]                                     # normalise to 1 at top
+    bc = jnp.zeros((nfreq, nz + 1, ny + 1), dtype)
+    one = jnp.ones((), dtype)
+    bc = bc.at[:, 0, :].set(one)                           # top (mt2DTE.jl:112)
+    bc = bc.at[:, 1:, 0].set(f[:, 0, 1:])                  # left
+    bc = bc.at[:, 1:, ny].set(f[:, ny, 1:])                # right
+    bc = bc.at[:, nz, 1:ny].set(f[:, 1:ny, nz])            # bottom interior
+    return bc
+
+
+def boundary_grids_both(mesh: M.TensorMesh2D, sigma2d: jax.Array,
+                        omegas: jax.Array, dtype) -> jax.Array:
+    """TE and TM Dirichlet boundary grids from ONE 1-D propagation.
+
+    ``analytic_field(with_h=True)`` yields both E (TE boundary) and H (TM
+    boundary) per column profile, so the merged-mode solve needs a single
+    batched propagator call (the reference runs getBoundaryMT2DTE and
+    getBoundaryMT2DTM separately).  Returns (nfreq, 2, nz+1, ny+1) with
+    mode axis [TE, TM].
+    """
+    profiles = boundary_profiles(mesh, sigma2d)            # (ny+1, nz)
+    dz = mesh.z_len
+    om = omegas[:, None, None]
+    e, h = mt1d.analytic_field(om, profiles[None], dz[None, None],
+                               with_h=True, dtype=dtype)
+    nfreq = omegas.shape[0]
+    bc_te = _bc_from_profile_field(mesh, e, nfreq, dtype)
+    bc_tm = _bc_from_profile_field(mesh, h, nfreq, dtype)
+    return jnp.stack([bc_te, bc_tm], axis=1)
+
+
 def boundary_grid(mesh: M.TensorMesh2D, sigma2d: jax.Array, omegas: jax.Array,
                   mode: str, dtype) -> jax.Array:
     """Dirichlet boundary values on the full node grid: (nfreq, nz+1, ny+1).
@@ -155,20 +193,27 @@ def solve_dirichlet(st: M.Stencil, omegas: jax.Array, bc: jax.Array,
                     cfg: SolveConfig) -> jax.Array:
     """Solve A(omega) u = 0 with Dirichlet boundary bc for every frequency.
 
-    Returns full node fields (nfreq, nz+1, ny+1).  Differentiable w.r.t. the
+    ``bc`` is (nfreq, ..., nz+1, ny+1) with optional extra batch axes between
+    frequency and the grid (the merged-mode path passes (nfreq, 2, nz+1,
+    ny+1) with the TE/TM stencils stacked on the matching ``st`` axis — one
+    batched factorisation covers every (freq, mode) system, halving the
+    latency-bound sequential solve depth vs per-mode solves).
+
+    Returns full node fields shaped like ``bc``.  Differentiable w.r.t. the
     stencil coefficients and bc via implicit differentiation; the adjoint
     solve reuses the forward factorisation (complex-symmetric operator).
     """
     rdt = cfg.real_dtype
     st_c = _cast_stencil(st, rdt)
-    om = omegas.astype(rdt)
+    n_extra = bc.ndim - 3          # batch axes between frequency and grid
+    om = omegas.astype(rdt).reshape(omegas.shape[:1] + (1,) * (n_extra + 2))
     bc = bc.astype(cfg.solve_dtype)
 
-    # interior system, batched over frequency
-    sys = S.interior_system(st_c, om[:, None, None], dtype=cfg.solve_dtype)
+    # interior system, batched over frequency (and any extra axes)
+    sys = S.interior_system(st_c, om, dtype=cfg.solve_dtype)
     # rhs = -A_io * bc (mt2DTE.jl:44) via the full-grid apply: the interior of
     # bc is zero, so the interior rows of A@bc are exactly A_io @ bc_boundary
-    rhs = -M.interior(M.apply_A(st_c, om[:, None, None], bc))
+    rhs = -M.interior(M.apply_A(st_c, om, bc))
 
     fac = S.factorize(sys, dtype=cfg.solve_dtype, method=cfg.solver_method)
     fac = jax.tree_util.tree_map(lax.stop_gradient, fac)
@@ -309,6 +354,23 @@ class ForwardOperator:
         bc = boundary_grid(self.mesh, sigma2d, omegas, mode, self.cfg.solve_dtype)
         return solve_dirichlet(st, omegas, bc, self.cfg)
 
+    def both_mode_solutions(self, sigma2d: jax.Array, freqs=None):
+        """(fields_te, fields_tm), each (nfreq, nz+1, ny+1), from ONE batched
+        factor+solve over the stacked (freq x mode) systems — the merged-mode
+        fast path: half the sequential solve depth of two per-mode calls and
+        a single 1-D boundary propagation (the reference loops frequencies
+        within each mode separately, MT2DFwdSolver.jl:140-171)."""
+        freqs = self.data.freqs if freqs is None else freqs
+        omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
+        st_te = M.te_stencil(self.mesh, sigma2d)
+        st_tm = M.tm_stencil(self.mesh, sigma2d)
+        st = M.Stencil(*(jnp.stack([a, b])
+                         for a, b in zip(st_te, st_tm)))   # (2, ...)
+        bc = boundary_grids_both(self.mesh, sigma2d, omegas,
+                                 self.cfg.solve_dtype)     # (nfreq, 2, ...)
+        fields = solve_dirichlet(st, omegas, bc, self.cfg)
+        return fields[:, 0], fields[:, 1]
+
     def mode_rx_fields(self, sigma2d, mode: str, freqs=None):
         """(E, H, fields) at receivers for one mode."""
         freqs = self.data.freqs if freqs is None else freqs
@@ -331,12 +393,20 @@ class ForwardOperator:
         omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
         Z, T = {}, None
         want_tipper = any(c == "TZY" for c in self.data.data_comp)
-        if self.data.comp_te:
+        if self.data.comp_te and self.data.comp_tm:
+            fields_te, fields_tm = self.both_mode_solutions(sigma2d, freqs)
+            E, H = rx_fields_te(omegas, self.mesh, sigma2d, fields_te, self.rx)
+            Z["XY"] = E / H
+            if want_tipper:
+                T = rx_hz_te(omegas, self.mesh, fields_te, self.rx) / H
+            Ey, Hx = rx_fields_tm(omegas, self.mesh, sigma2d, fields_tm, self.rx)
+            Z["YX"] = Ey / Hx
+        elif self.data.comp_te:
             E, H, fields = self.mode_rx_fields(sigma2d, "TE", freqs)
             Z["XY"] = E / H
             if want_tipper:
                 T = rx_hz_te(omegas, self.mesh, fields, self.rx) / H
-        if self.data.comp_tm:
+        elif self.data.comp_tm:
             Z["YX"] = self.mode_impedance(sigma2d, "TM", freqs)
         comps = []
         for name in self.data.data_comp:

@@ -121,6 +121,30 @@ def test_predict_shapes_and_gradient():
     assert np.abs(g[mesh.n_air:]).max() > 0
 
 
+def test_merged_mode_solve_matches_per_mode():
+    """The stacked TE+TM factor+solve (one batched system over freq x mode)
+    must equal the separate per-mode solves to fp accuracy, including the
+    single-propagation boundary construction."""
+    mesh, sigma2d, rx_loc, _, _ = layered_setup()
+    sigma2d = sigma2d.copy()
+    sigma2d[9:13, 8:14] = 0.5
+    freqs = np.array([10.0, 0.1])
+    data = make_data(rx_loc, freqs)
+    fwd = F.make_forward(mesh, data, F.SolveConfig(jnp.complex128, 0))
+    s = jnp.asarray(sigma2d)
+
+    f_te, f_tm = fwd.both_mode_solutions(s)
+    want_te = fwd.mode_solution(s, "TE")
+    want_tm = fwd.mode_solution(s, "TM")
+    np.testing.assert_allclose(np.asarray(f_te), np.asarray(want_te), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_tm), np.asarray(want_tm), rtol=1e-10)
+
+    # the response cube (which routes through the merged path for TE+TM
+    # surveys) stays differentiable
+    g = jax.grad(lambda ss: jnp.sum(jnp.abs(fwd.response_cube(ss)) ** 2))(s)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_rx_corrections_match_reference_exactly():
     """rx_fields_te/tm and rx_hz_te vs. line-by-line numpy ports of the
     reference's compFieldsAtRxTE/TM (mt2DTE.jl:153-210, mt2DTM.jl:152-210)
