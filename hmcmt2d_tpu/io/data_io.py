@@ -24,6 +24,18 @@ def _content_lines(path):
             yield line
 
 
+def _need(lines, path):
+    """Next content line of a keyword block, with a located parse error (not
+    a raw StopIteration) when the block declares more rows than the file
+    holds."""
+    try:
+        return next(lines)
+    except StopIteration:
+        raise ValueError(
+            f"{path}: file ends mid-block (a keyword block declares more "
+            "rows than the file contains)") from None
+
+
 def read_data(path) -> tuple[MTData, np.ndarray, np.ndarray]:
     """Returns (MTData, obs, err); obs complex for Impedance, real for
     Rho_Pha (readMT2DData.jl:117-121)."""
@@ -35,18 +47,18 @@ def read_data(path) -> tuple[MTData, np.ndarray, np.ndarray]:
     for line in lines:
         if "Receiver Location" in line:
             nr = int(line.split()[-1])
-            rows = [next(lines).split() for _ in range(nr)]
+            rows = [_need(lines, path).split() for _ in range(nr)]
             rx_loc = np.array([[float(r[0]), float(r[1])] for r in rows])
         elif "Frequencies" in line:
             nf = int(line.split()[-1])
-            freqs = np.array([float(next(lines)) for _ in range(nf)])
+            freqs = np.array([float(_need(lines, path)) for _ in range(nf)])
         elif "DataType" in line:
             data_type = line.split()[-1]
             if data_type not in DATA_TYPES:
                 raise ValueError(f"{data_type} is not supported.")
         elif "DataComp" in line:
             ndt = int(line.split()[-1])
-            comps = [next(lines).strip() for _ in range(ndt)]
+            comps = [_need(lines, path).strip() for _ in range(ndt)]
         elif "Data Block" in line:
             ndata = int(line.split()[-1])
             is_complex = "Impedance" in data_type
@@ -56,7 +68,7 @@ def read_data(path) -> tuple[MTData, np.ndarray, np.ndarray]:
             obs = np.zeros(ndata, complex if is_complex else float)
             err = np.zeros(ndata)
             for k in range(ndata):
-                t = next(lines).split()
+                t = _need(lines, path).split()
                 freq_id[k], rx_id[k], dt_id[k] = int(t[0]) - 1, int(t[1]) - 1, int(t[2]) - 1
                 if is_complex:
                     obs[k] = float(t[3]) + 1j * float(t[4])

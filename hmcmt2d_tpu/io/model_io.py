@@ -27,10 +27,16 @@ def _content_lines(path):
             yield line
 
 
-def _read_floats(lines, n):
+def _read_floats(lines, n, path=""):
     vals = []
     while len(vals) < n:
-        vals.extend(float(t) for t in next(lines).split())
+        try:
+            row = next(lines)
+        except StopIteration:
+            raise ValueError(
+                f"{path}: file ends mid-block ({len(vals)}/{n} values read)"
+            ) from None
+        vals.extend(float(t) for t in row.split())
     return np.asarray(vals[:n])
 
 
@@ -46,18 +52,18 @@ def read_model(path) -> tuple[TensorMesh2D, np.ndarray]:
     for line in lines:
         if line.startswith("NY"):
             ny = int(line.split()[-1])
-            y_len = _read_floats(lines, ny)
+            y_len = _read_floats(lines, ny, path)
         elif line.startswith("NZ"):
             nz = int(line.split()[-1])
-            z_len = _read_floats(lines, nz)
+            z_len = _read_floats(lines, nz, path)
         elif line.startswith("NAIR"):
             nair = int(line.split()[-1])
-            air = _read_floats(lines, nair)
+            air = _read_floats(lines, nair, path)
         elif "Resistivity Type" in line:
             res_type = line.split()[-1]
         elif "Model Type" in line:
             mod_type = line.split()[-1]
-            sigma = _read_floats(lines, ny * nz)
+            sigma = _read_floats(lines, ny * nz, path)
             if res_type == "Resistivity":
                 sigma = 1.0 / sigma
             if mod_type == "log":

@@ -92,3 +92,23 @@ def test_missing_startup_fields(tmp_path):
     p.write_text("burninsamples: 10\n")
     with pytest.raises(ValueError, match="datafile"):
         parse_startup(p)
+
+
+def test_truncated_inputs_raise_located_errors(tmp_path):
+    """A file ending mid-block raises a ValueError naming the file, not a
+    raw StopIteration (failure-detection hygiene)."""
+    import pytest
+
+    from hmcmt2d_tpu.io.data_io import read_data
+    from hmcmt2d_tpu.io.model_io import read_model
+
+    bad_data = tmp_path / "trunc.dat"
+    bad_data.write_text(
+        "Receiver Location (m):  3\n  0.0 0.0\n  10.0 0.0\n")
+    with pytest.raises(ValueError, match="trunc.dat.*mid-block"):
+        read_data(bad_data)
+
+    bad_model = tmp_path / "trunc.mod"
+    bad_model.write_text("NY:  4\n 100.0 100.0\n")
+    with pytest.raises(ValueError, match="trunc.mod.*mid-block"):
+        read_model(bad_model)
