@@ -56,6 +56,13 @@ class SolveConfig:
     # currently miscompiles the BCR program (tracked in bench notes), so the
     # TPU default_config selects "thomas".
     solver_method: str = "bcr"
+    # batched-inverse engine inside the factorisation: "lu" (XLA pivoted
+    # LU) or "gj" (blocked unpivoted Gauss-Jordan, pure matmuls; stable here
+    # because the equilibrated operator has positive-definite real part, see
+    # ops/blockinv.py).  Measured on the tunneled v5e: LU wins at production
+    # batch (the GJ sweep's small sequential base inversions dominate), so
+    # "lu" is the default everywhere.
+    inv_method: str = "lu"
 
     @property
     def real_dtype(self):
@@ -215,7 +222,8 @@ def solve_dirichlet(st: M.Stencil, omegas: jax.Array, bc: jax.Array,
     # bc is zero, so the interior rows of A@bc are exactly A_io @ bc_boundary
     rhs = -M.interior(M.apply_A(st_c, om, bc))
 
-    fac = S.factorize(sys, dtype=cfg.solve_dtype, method=cfg.solver_method)
+    fac = S.factorize(sys, dtype=cfg.solve_dtype, method=cfg.solver_method,
+                      inv_method=cfg.inv_method)
     fac = jax.tree_util.tree_map(lax.stop_gradient, fac)
 
     def matvec(x):

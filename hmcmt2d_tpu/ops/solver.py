@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import mesh as M
+from .blockinv import inv_nopivot
 
 
 class InteriorSystem(NamedTuple):
@@ -103,20 +104,25 @@ def _dense_blocks(diag: jax.Array, offy: jax.Array) -> jax.Array:
     return T
 
 
-def bt_factor(sys: InteriorSystem) -> BTFactor:
-    """Factorise: scan over z-lines computing G_j = inv(T_j - C G_{j-1} C)."""
+def bt_factor(sys: InteriorSystem, inv_fn=jnp.linalg.inv) -> BTFactor:
+    """Factorise: scan over z-lines computing G_j = inv(T_j - C G_{j-1} C).
+
+    ``inv_fn`` selects the batched-inverse engine: XLA's pivoted LU
+    (``jnp.linalg.inv``) or the MXU-matmul blocked Gauss-Jordan
+    (:func:`hmcmt2d_tpu.ops.blockinv.inv_nopivot`) — the TPU fast path.
+    """
     diag, offy, offz = sys
     T = _dense_blocks(diag, offy)                      # (..., nzi, nyi, nyi)
     nzi = T.shape[-3]
     T_m = jnp.moveaxis(T, -3, 0)                       # (nzi, ..., nyi, nyi)
     offz_m = jnp.moveaxis(offz.astype(diag.dtype), -2, 0)  # (nzi-1, ..., nyi)
 
-    G0 = jnp.linalg.inv(T_m[0])
+    G0 = inv_fn(T_m[0])
 
     def step(G_prev, inputs):
         T_j, c_prev = inputs
         S = T_j - c_prev[..., :, None] * G_prev * c_prev[..., None, :]
-        G = jnp.linalg.inv(S)
+        G = inv_fn(S)
         return G, G
 
     _, Gs = lax.scan(step, G0, (T_m[1:], offz_m))
@@ -233,7 +239,7 @@ def _inv3(A):
     return jnp.linalg.inv(A.reshape((-1,) + shape[-2:])).reshape(shape)
 
 
-def bcr_factor(sys: InteriorSystem) -> BCRFactor:
+def bcr_factor(sys: InteriorSystem, inv_fn=None) -> BCRFactor:
     """Cyclic reduction of the interior block-tridiagonal system.
 
     Pads the nzi z-lines to N = 2^m - 1 with identity blocks / zero couplings
@@ -246,11 +252,13 @@ def bcr_factor(sys: InteriorSystem) -> BCRFactor:
     diag, offy, offz = sys
     T = _dense_blocks(diag, offy)                      # (..., nzi, q, q)
     nzi, q = T.shape[-3], T.shape[-1]
+    if inv_fn is None:
+        inv_fn = _inv3
     m = nzi.bit_length()                               # smallest m: 2^m-1 >= nzi
     N = 2 ** m - 1
     batch = T.shape[:-3]
     if N == 1:
-        return BCRFactor((BCRLevel(_inv3(T), None, None),))
+        return BCRFactor((BCRLevel(inv_fn(T), None, None),))
 
     if N > nzi:
         eyep = jnp.broadcast_to(jnp.eye(q, dtype=T.dtype),
@@ -267,7 +275,7 @@ def bcr_factor(sys: InteriorSystem) -> BCRFactor:
     Dl, cl = T, c
     nl = N
     ev_D = Dl[..., 0::2, :, :]
-    Dinv = _inv3(ev_D)                                 # (..., ne, q, q)
+    Dinv = inv_fn(ev_D)                                # (..., ne, q, q)
     zv = jnp.zeros_like(cl[..., :1, :])
     L = jnp.concatenate([zv, cl[..., 1::2, :]], axis=-2)   # C_{i-1} for even i
     R = jnp.concatenate([cl[..., 0::2, :], zv], axis=-2)   # C_i for even i
@@ -288,7 +296,7 @@ def bcr_factor(sys: InteriorSystem) -> BCRFactor:
     Dl, Cl = Dn, Cn
     while Dl.shape[-3] > 1:
         nl = Dl.shape[-3]
-        Dinv = _inv3(Dl[..., 0::2, :, :])
+        Dinv = inv_fn(Dl[..., 0::2, :, :])
         zb = jnp.zeros_like(Cl[..., :1, :, :])
         L = jnp.concatenate([zb, Cl[..., 1::2, :, :]], axis=-3)
         R = jnp.concatenate([Cl[..., 0::2, :, :], zb], axis=-3)
@@ -307,7 +315,7 @@ def bcr_factor(sys: InteriorSystem) -> BCRFactor:
             Cn = Cl[..., :0, :, :]
         Dl, Cl = Dn, Cn
 
-    levels.append(BCRLevel(_inv3(Dl), None, None))
+    levels.append(BCRLevel(inv_fn(Dl), None, None))
     return BCRFactor(tuple(levels))
 
 
@@ -379,13 +387,18 @@ class Factorization(NamedTuple):
     s: jax.Array  # equilibration scaling
 
 
-def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr") -> Factorization:
+def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr",
+              inv_method: str = "lu") -> Factorization:
     ssys, s = equilibrate(sys)
     if dtype is not None:
         rdt = jnp.real(jnp.zeros((), dtype)).dtype
         ssys = InteriorSystem(ssys.diag.astype(dtype), ssys.offy.astype(rdt),
                               ssys.offz.astype(rdt))
-    fac = bcr_factor(ssys) if method == "bcr" else bt_factor(ssys)
+    inv_fn = inv_nopivot if inv_method == "gj" else jnp.linalg.inv
+    if method == "bcr":
+        fac = bcr_factor(ssys, inv_fn=inv_fn)
+    else:
+        fac = bt_factor(ssys, inv_fn=inv_fn)
     return Factorization(fac, s)
 
 

@@ -145,6 +145,41 @@ def test_bcr_batched_and_refined():
     assert errn < 1e-10 and errn < err32, (err32, errn)
 
 
+def test_gj_inverse_matches_lu():
+    """Blocked unpivoted Gauss-Jordan (the MXU fast path) vs pivoted LU on
+    the real equilibrated operators, both solver structures, f64 and the
+    TPU production combo (complex64 + refinement)."""
+    for mode in ("TE", "TM"):
+        for freq in (0.01, 100.0):
+            msh, st, omega, Aii, (nzi, nyi) = _problem(mode, freq=freq)
+            sys = S.interior_system(st, omega)
+            rng = np.random.default_rng(41)
+            b = rng.standard_normal((nzi, nyi)) + 1j * rng.standard_normal((nzi, nyi))
+            want = spla.spsolve(Aii, b.ravel()).reshape(nzi, nyi)
+            for method in ("thomas", "bcr"):
+                fac = S.factorize(sys, method=method, inv_method="gj")
+                x = np.asarray(S.factor_solve(fac, jnp.asarray(b)))
+                np.testing.assert_allclose(
+                    x, want, rtol=1e-8, atol=1e-10 * np.abs(want).max(),
+                    err_msg=f"{mode} f={freq} {method}+gj")
+
+    # TPU production precision: complex64 GJ factor + f64-residual refinement
+    msh, st, omega, Aii, (nzi, nyi) = _problem("TM", freq=1.0)
+    sys64 = S.interior_system(st, omega)
+    sys32 = S.interior_system(st, omega, dtype=jnp.complex64)
+    fac32 = S.factorize(sys32, dtype=jnp.complex64, method="thomas",
+                        inv_method="gj")
+    rng = np.random.default_rng(43)
+    b = rng.standard_normal((nzi, nyi)) + 1j * rng.standard_normal((nzi, nyi))
+    want = spla.spsolve(Aii, b.ravel()).reshape(nzi, nyi)
+    x0 = np.asarray(S.factor_solve(fac32, jnp.asarray(b, jnp.complex64)))
+    err0 = np.abs(x0 - want).max() / np.abs(want).max()
+    x2 = np.asarray(S.refined_solve(sys64, fac32, jnp.asarray(b), iters=3))
+    err2 = np.abs(x2 - want).max() / np.abs(want).max()
+    assert err0 < 1e-4, err0          # raw c64 GJ already close
+    assert err2 < 1e-10 and err2 < err0, (err0, err2)
+
+
 def test_batched_over_frequency():
     msh, st, omega0, _, (nzi, nyi) = _problem("TE")
     freqs = np.array([0.05, 0.5, 5.0])
