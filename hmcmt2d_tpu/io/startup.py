@@ -40,6 +40,11 @@ class HMCConfig:
     seed: int = 0
     adapt: bool = False            # dual-averaging + mass warmup over burnin
     target_accept: float = 0.8
+    # trajectory-amortised PDE factorisation: refactor every few leapfrog
+    # steps, refine in between (exact to refinement tolerance; several-fold
+    # fewer factorisations).  "amortize: off" forces a fresh factorisation
+    # every leapfrog step (the reference's behaviour).
+    amortize: bool = True
 
     @property
     def max_steps(self) -> int:
@@ -70,6 +75,9 @@ def parse_startup(path) -> tuple[HMCConfig, str, str]:
             elif "resistivity:" in line:
                 rho_min, rho_max = float(toks[-3]), float(toks[-2])
                 cfg.sig_bounds = (1.0 / rho_max, 1.0 / rho_min)
+                # parsed for parity; the reference computes sigmastd the same
+                # way and then never uses it (mass scaling is hard-coded 1.0,
+                # HMCSampler.jl:82) — we mirror that behaviour exactly
                 cfg.sigma_std = (np.log(cfg.sig_bounds[1]) - np.log(cfg.sig_bounds[0])) * 0.05
             elif "timeinterval:" in line:
                 cfg.dt = float(toks[-1])
@@ -89,6 +97,8 @@ def parse_startup(path) -> tuple[HMCConfig, str, str]:
                 cfg.target_accept = float(toks[-1])
             elif "adapt:" in line:       # extension: warmup adaptation on/off
                 cfg.adapt = toks[-1].lower() in ("1", "true", "yes", "on")
+            elif "amortize:" in line:    # extension: trajectory-amortised factor
+                cfg.amortize = toks[-1].lower() in ("1", "true", "yes", "on")
     cfg.sig_fix = tuple(sig_fix)
     if datafile is None or modelfile is None:
         raise ValueError(f"startup file {path} must name datafile: and modelfile:")

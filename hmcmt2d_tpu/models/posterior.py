@@ -54,13 +54,18 @@ class InverseProblem:
         return sig.reshape(msh.nz, msh.ny)
 
     # -- data terms ----------------------------------------------------------
-    def predict(self, m: jax.Array) -> jax.Array:
-        return self.fwd.predict(self.sigma2d(m))
+    def predict(self, m: jax.Array, fac=None) -> jax.Array:
+        return self.fwd.predict(self.sigma2d(m), fac=fac)
 
-    def data_misfit(self, m: jax.Array):
+    def factor_state(self, m: jax.Array):
+        """Merged-mode factorisation at model m (trajectory-amortised path);
+        constant w.r.t. differentiation (callers pass it back as ``fac``)."""
+        return self.fwd.factor_at(self.sigma2d(m))
+
+    def data_misfit(self, m: jax.Array, fac=None):
         """0.5 * || W (F(m) - d) ||^2 and the predicted data
         (getDataMisfit, HMCUtility.jl:200-207)."""
-        pred = self.predict(m)
+        pred = self.predict(m, fac=fac)
         res = jnp.asarray(self.weights) * (pred - jnp.asarray(self.obs))
         # complex residuals count re and im separately (0.5 * re(r^H r))
         return 0.5 * jnp.sum(jnp.abs(res) ** 2), pred
@@ -101,8 +106,13 @@ class InverseProblem:
         w_cube[d.flat_index] = self.weights
         return obs_cube.reshape(shape), w_cube.reshape(shape)
 
+    def factor_state_cube(self, m, freqs):
+        """Merged-mode factorisation over a (possibly local) frequency set —
+        the sharded-path analogue of :meth:`factor_state`."""
+        return self.fwd.factor_at(self.sigma2d(m), freqs)
+
     def potential_cube(self, m, m_ref, reg, freqs, obs_cube, w_cube,
-                       prior_scale: float = 1.0):
+                       prior_scale: float = 1.0, fac=None):
         """Potential with the data term over a (possibly local) frequency set.
 
         ``freqs``/``obs_cube``/``w_cube`` are traced arrays (shardable over a
@@ -112,18 +122,19 @@ class InverseProblem:
         yields the exact global potential (the prior is replicated across
         freq shards).  See parallel.multichain for the reduction.
         """
-        cube = self.fwd.response_cube(self.sigma2d(m), freqs)
+        cube = self.fwd.response_cube(self.sigma2d(m), freqs, fac=fac)
         res = w_cube * (cube - obs_cube)
         misfit = 0.5 * jnp.sum(jnp.abs(res) ** 2)
         mnorm = prior_scale * reg * self.model_norm(m, m_ref)
         return misfit + mnorm, (misfit, mnorm, cube.reshape(-1))
 
     # -- potential -----------------------------------------------------------
-    def potential(self, m: jax.Array, m_ref: jax.Array, reg: float):
+    def potential(self, m: jax.Array, m_ref: jax.Array, reg: float, fac=None):
         """U(m) = data misfit + reg * model norm — the HMC potential energy
         (getHamiltonian, HMCSampler.jl:384-393).  Returns (U, (misfit, mnorm,
-        pred))."""
-        misfit, pred = self.data_misfit(m)
+        pred)).  ``fac``: optional stale factorisation (solved to the same
+        accuracy via refinement; see solve_dirichlet)."""
+        misfit, pred = self.data_misfit(m, fac=fac)
         mnorm = reg * self.model_norm(m, m_ref)
         return misfit + mnorm, (misfit, mnorm, pred)
 

@@ -93,10 +93,12 @@ class ShardedSampler:
     next segment or a checkpoint/resume cycle.
     """
 
-    def __init__(self, problem: InverseProblem, reg: float, mesh: Mesh):
+    def __init__(self, problem: InverseProblem, reg: float, mesh: Mesh,
+                 amortize: bool = True):
         self.problem = problem
         self.reg = reg
         self.mesh = mesh
+        self.amortize = amortize
         data = problem.fwd.data
         self.n_freq_dev = mesh.shape["freq"]
         self.n_chain_dev = mesh.shape["chains"]
@@ -125,17 +127,27 @@ class ShardedSampler:
         problem, reg = self.problem, self.reg
         prior_scale = 1.0 / self.n_freq_dev
 
-        def vg(m, m_ref_):
-            def single(mm, mr):
+        def vg(m, m_ref_, fac=None):
+            def single(mm, mr, ff=None):
                 return problem.potential_cube(mm, mr, reg, freqs_l, obs_l, w_l,
-                                              prior_scale=prior_scale)
+                                              prior_scale=prior_scale, fac=ff)
 
-            (U, (mis, mn, pred)), g = jax.vmap(
-                jax.value_and_grad(single, has_aux=True))(m, m_ref_)
+            if fac is None:
+                (U, (mis, mn, pred)), g = jax.vmap(
+                    jax.value_and_grad(single, has_aux=True))(m, m_ref_)
+            else:
+                (U, (mis, mn, pred)), g = jax.vmap(
+                    jax.value_and_grad(single, has_aux=True))(m, m_ref_, fac)
             U, mis, mn, g = lax.psum((U, mis, mn, g), "freq")
             return (U, (mis, mn, pred)), g
 
         return vg
+
+    def _factor_fn(self, freqs_l):
+        """Batched local-frequency-shard factorisation (amortised path)."""
+        if not self.amortize:
+            return None
+        return jax.vmap(lambda m: self.problem.factor_state_cube(m, freqs_l))
 
     def _chain_key(self, key):
         # distinct RNG per chains-shard, identical across the freq axis so
@@ -195,7 +207,8 @@ class ShardedSampler:
                     st = maybe_state[0]
                     st = st._replace(pred=st.pred.reshape(st.pred.shape[:-2] + (-1,)))
                 res = H.run_hmc(vg, opts, mass_l, m0_l, mref_l, n_samples,
-                                key_l, init_state=st, key_offset=key_off)
+                                key_l, init_state=st, key_offset=key_off,
+                                factor_fn=self._factor_fn(freqs_l))
                 return self._split_cube(res, freqs_l.shape[0])
 
             self._jitted[cache_key] = jax.jit(sharded_run)
@@ -232,7 +245,8 @@ class ShardedSampler:
                 key_l = self._chain_key(key)
                 result, state, mass, info = A.warmup(
                     vg, opts, m0_l, mref_l, n_warm, key_l, wopts,
-                    pool_axis="chains")
+                    pool_axis="chains",
+                    factor_fn=self._factor_fn(freqs_l))
                 result = self._split_cube(result, freqs_l.shape[0])
                 state = state._replace(
                     pred=state.pred.reshape(state.pred.shape[:-1]

@@ -107,7 +107,8 @@ class WarmupInfo(NamedTuple):
 def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
            m_ref: jax.Array, n_warmup: int, key, w: WarmupOptions | None = None,
            pool_axis: str | None = None, sample_dtype=jnp.float32,
-           init_state: ChainState | None = None):
+           init_state: ChainState | None = None,
+           factor_fn: Callable | None = None):
     """Adaptive warmup phase.
 
     Returns ``(result, state, mass, info)``: per-iteration records (an
@@ -119,7 +120,7 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
     C, P = m0.shape
     state = init_state if init_state is not None else sample_chain_init(
         potential_vg, m0, m_ref)
-    step = make_sample_step(potential_vg, opts)
+    step = make_sample_step(potential_vg, opts, factor_fn=factor_fn)
 
     def pool_mean(x):
         x = jnp.mean(x, axis=0)

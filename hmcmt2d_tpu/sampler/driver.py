@@ -41,17 +41,34 @@ class InversionRun:
 
 
 def make_potential_vg(problem: InverseProblem, reg: float):
-    """Batched (chains-leading) potential value-and-grad."""
+    """Batched (chains-leading) potential value-and-grad.
+
+    The returned callable accepts an optional batched ``fac`` third argument
+    (per-chain stale factorisations from :func:`make_factor_fn`) for the
+    trajectory-amortised path; gradients are w.r.t. the model only.
+    """
 
     def single(m, m_ref):
         return problem.potential(m, m_ref, reg)
 
     vg_single = jax.value_and_grad(single, has_aux=True)
 
-    def vg(m, m_ref):
-        return jax.vmap(vg_single)(m, m_ref)
+    def single_fac(m, m_ref, fac):
+        return problem.potential(m, m_ref, reg, fac=fac)
+
+    vg_fac_single = jax.value_and_grad(single_fac, has_aux=True)
+
+    def vg(m, m_ref, fac=None):
+        if fac is None:
+            return jax.vmap(vg_single)(m, m_ref)
+        return jax.vmap(vg_fac_single)(m, m_ref, fac)
 
     return vg
+
+
+def make_factor_fn(problem: InverseProblem):
+    """Batched model -> merged-mode Factorization (trajectory amortisation)."""
+    return jax.vmap(problem.factor_state)
 
 
 def make_mass(problem: InverseProblem, cfg: HMCConfig) -> H.MassMatrix:
@@ -127,11 +144,13 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
     key_start, key_run = jax.random.split(key)
     vg = make_potential_vg(problem, cfg.reg_param)
     opts = hmc_options(cfg)
+    factor_fn = make_factor_fn(problem) if cfg.amortize else None
 
     sharded = None
     if device_mesh is not None:
         from ..parallel.multichain import ShardedSampler
-        sharded = ShardedSampler(problem, cfg.reg_param, device_mesh)
+        sharded = ShardedSampler(problem, cfg.reg_param, device_mesh,
+                                 amortize=cfg.amortize)
 
     def log(msg):
         if verbose:
@@ -178,8 +197,9 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                 wres, state, mass, info = sharded.warmup(
                     opts, m_start, m_ref, n_warm, key_warm, wopts)
             else:
-                wrun = jax.jit(lambda m0, mref, k: A.warmup(vg, opts, m0, mref,
-                                                            n_warm, k, wopts))
+                wrun = jax.jit(lambda m0, mref, k: A.warmup(
+                    vg, opts, m0, mref, n_warm, k, wopts,
+                    factor_fn=factor_fn))
                 wres, state, mass, info = wrun(m_start, m_ref, key_warm)
             jax.block_until_ready(wres.models)
             opts = dataclasses.replace(opts, dt=float(info.dt))
@@ -219,7 +239,8 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                 runs[rkey] = jax.jit(
                     lambda st, m0, mref, k, off, n=n_seg: H.run_hmc(
                         vg, opts, mass, st.m if st is not None else m0, mref,
-                        n, k, init_state=st, key_offset=off))
+                        n, k, init_state=st, key_offset=off,
+                        factor_fn=factor_fn))
             res = runs[rkey](state, m_start, m_ref, key_main, n_done)
         jax.block_until_ready(res.models)
         state = res.final

@@ -126,10 +126,15 @@ class HMCOptions:
     log_sig_hi: float
     reg_param: float
     max_step_size: float = 3.0  # position-step clip (HMCSampler.jl:234-243)
+    # refactorise the PDE systems every this many leapfrog steps when the
+    # sampler runs with a factor_fn (trajectory-amortised factorisation);
+    # in-between steps solve with the stale factor + refinement
+    refactor_every: int = 4
 
 
 def _leapfrog(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
-              state: ChainState, p0, m_ref, n_steps, dt):
+              state: ChainState, p0, m_ref, n_steps, dt,
+              factor_fn: Callable | None = None):
     """Leapfrog trajectory of (traced) length n_steps (proposeLeapfrog,
     HMCSampler.jl:206-269).
 
@@ -141,22 +146,36 @@ def _leapfrog(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
 
     ``dt`` may be a traced scalar (the warmup adapter tunes it on the fly);
     the fixed-kernel sampler passes ``opts.dt``.
+
+    ``factor_fn`` enables the trajectory-amortised factorisation: the PDE
+    factorisation (the dominant cost) is computed at the trajectory start
+    and every ``opts.refactor_every`` steps, and the in-between potential
+    evaluations solve with the stale factor via preconditioned refinement —
+    exact solutions, several-fold fewer factorisations.  The refactor
+    predicate is a scalar function of the step index, so ``lax.cond``
+    executes only the taken branch.
     """
     p = p0 - 0.5 * dt * state.grad
     m = state.m
+    fac0 = factor_fn(m) if factor_fn is not None else None
 
     def real_step(carry, k):
-        m, p, _aux = carry
+        m, p, _aux, fac = carry
         gk = mass.apply_inv(p)
         dm = dt * gk
         dm_max = jnp.max(jnp.abs(dm), axis=-1, keepdims=True)
         scale = jnp.minimum(1.0, opts.max_step_size / dm_max)
         m = m + dm * scale
         m, p = reflect_bounds(m, p, opts.log_sig_lo, opts.log_sig_hi)
-        (U, aux), g = potential_vg(m, m_ref)
+        if factor_fn is not None:
+            refac = (k > 0) & (k % opts.refactor_every == 0)
+            fac = lax.cond(refac, factor_fn, lambda _m: fac, m)
+            (U, aux), g = potential_vg(m, m_ref, fac)
+        else:
+            (U, aux), g = potential_vg(m, m_ref)
         coeff = jnp.where(k == n_steps - 1, 0.5 * dt, dt)
         p = p - coeff * g
-        return (m, p, (aux, g))
+        return (m, p, (aux, g), fac)
 
     def step(carry, k):
         carry = lax.cond(k < n_steps, real_step, lambda c, _k: c, carry, k)
@@ -164,17 +183,23 @@ def _leapfrog(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
 
     # aux placeholder with correct shapes from the current state
     aux0 = ((state.misfit, state.mnorm, state.pred), state.grad)
-    (m, p, (aux, g)), _ = lax.scan(step, (m, p, aux0), jnp.arange(opts.steps_hi))
+    (m, p, (aux, g), _), _ = lax.scan(step, (m, p, aux0, fac0),
+                                      jnp.arange(opts.steps_hi))
     misfit, mnorm, pred = aux
     return ChainState(m=m, grad=g, misfit=misfit, mnorm=mnorm, pred=pred), p
 
 
-def make_sample_step(potential_vg: Callable, opts: HMCOptions):
+def make_sample_step(potential_vg: Callable, opts: HMCOptions,
+                     factor_fn: Callable | None = None):
     """Build the per-iteration kernel (one MH-corrected HMC proposal).
 
     The returned ``sample_step(state, key, m_ref, dt, mass)`` takes the step
     size and mass matrix as (possibly traced) arguments so the warmup adapter
     can tune them between iterations without retracing.
+
+    With ``factor_fn`` (batched model -> Factorization), leapfrog runs the
+    trajectory-amortised factorisation path: ``potential_vg`` must then take
+    ``(m, m_ref, fac)``.
     """
 
     def sample_step(state: ChainState, key, m_ref, dt, mass: MassMatrix):
@@ -187,7 +212,8 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions):
 
         # random integer trajectory length, shared across chains
         L = jax.random.randint(key_L, (), opts.steps_lo, opts.steps_hi + 1)
-        prop, p1 = _leapfrog(potential_vg, opts, mass, state, p0, m_ref, L, dt)
+        prop, p1 = _leapfrog(potential_vg, opts, mass, state, p0, m_ref, L,
+                             dt, factor_fn=factor_fn)
 
         ke1 = mass.kinetic(p1)
         h1 = prop.misfit + prop.mnorm + ke1
@@ -219,7 +245,7 @@ def sample_chain_init(potential_vg: Callable, m0: jax.Array, m_ref: jax.Array):
 def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
             m0: jax.Array, m_ref: jax.Array, n_samples: int, key,
             sample_dtype=jnp.float32, init_state: ChainState | None = None,
-            key_offset=0) -> HMCResult:
+            key_offset=0, factor_fn: Callable | None = None) -> HMCResult:
     """Run ``n_samples`` HMC iterations for a batch of chains.
 
     potential_vg(m (C,P), m_ref (C,P)) -> ((U, (misfit, mnorm, pred)), grad)
@@ -237,7 +263,7 @@ def run_hmc(potential_vg: Callable, opts: HMCOptions, mass: MassMatrix,
     """
     state = init_state if init_state is not None else sample_chain_init(
         potential_vg, m0, m_ref)
-    step = make_sample_step(potential_vg, opts)
+    step = make_sample_step(potential_vg, opts, factor_fn=factor_fn)
 
     ke_init = mass.kinetic(mass.draw(jax.random.fold_in(key, 0), m0.shape))
     start_stats = jnp.stack([state.misfit, state.mnorm, ke_init,

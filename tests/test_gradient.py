@@ -118,3 +118,77 @@ def test_full_jacobian_vs_fd_columns():
         # sensitivities are ~1e-8 x the column max and pure FD noise there
         np.testing.assert_allclose(Jfull[:, i], fd, rtol=2e-3,
                                    atol=1e-3 * np.abs(fd).max() + 1e-14)
+
+
+def test_amortized_factor_gradient_matches_fresh():
+    """Potential value and gradient with a STALE factorisation (built at a
+    drifted model, solved via refinement) must match the fresh-factor path —
+    the trajectory-amortised correctness contract."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hmcmt2d_tpu.models import forward as F
+    from hmcmt2d_tpu.models.posterior import build_inverse_problem
+    from tests.test_e2e import tiny_setup
+
+    mesh, start_sig, data, obs, err = tiny_setup()
+    cfg = F.SolveConfig(jnp.complex128, 0, "thomas", "lu", stale_refine_iters=12)
+    prob, m0 = build_inverse_problem(mesh, data, obs, err, start_sig.ravel(),
+                                     cfg=cfg)
+    rng = np.random.default_rng(2)
+    m = jnp.asarray(np.asarray(m0) + 0.05 * rng.standard_normal(len(m0)))
+    m_stale = jnp.asarray(np.asarray(m0) - 0.2 * rng.standard_normal(len(m0)))
+    mref = jnp.asarray(np.asarray(m0))
+
+    (U0, (mis0, _, pred0)), g0 = jax.value_and_grad(
+        lambda mm: prob.potential(mm, mref, 1.0), has_aux=True)(m)
+    fac = prob.factor_state(m_stale)
+    (U1, (mis1, _, pred1)), g1 = jax.value_and_grad(
+        lambda mm: prob.potential(mm, mref, 1.0, fac=fac), has_aux=True)(m)
+
+    # 12 refinement iterations at contraction ~0.2 (0.2-drift stale factor)
+    # leave a ~1e-8 relative floor
+    np.testing.assert_allclose(float(U1), float(U0), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(pred1), np.asarray(pred0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-4,
+                               atol=1e-7 * float(jnp.abs(g0).max()))
+
+
+def test_amortized_hmc_matches_fresh_sampler():
+    """run_hmc with factor_fn (refactor every 2 steps + refinement) must
+    reproduce the fresh-factorisation sampler's trajectories to refinement
+    tolerance — same accept decisions and models on a short run."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hmcmt2d_tpu.models import forward as F
+    from hmcmt2d_tpu.models.posterior import build_inverse_problem
+    from hmcmt2d_tpu.sampler import hmc as H
+    from hmcmt2d_tpu.sampler.driver import make_factor_fn, make_potential_vg
+    from tests.test_e2e import tiny_setup
+
+    mesh, start_sig, data, obs, err = tiny_setup()
+    cfg = F.SolveConfig(jnp.complex128, 0, "thomas", "lu", stale_refine_iters=12)
+    prob, m0 = build_inverse_problem(mesh, data, obs, err, start_sig.ravel(),
+                                     cfg=cfg)
+    vg = make_potential_vg(prob, 1.0)
+    opts = H.HMCOptions(dt=0.05, steps_lo=2, steps_hi=4,
+                        log_sig_lo=float(np.log(1e-4)),
+                        log_sig_hi=float(np.log(10.0)), reg_param=1.0,
+                        refactor_every=2)
+    mass = H.identity_mass(len(m0))
+    m_start = jnp.broadcast_to(jnp.asarray(m0), (2, len(m0)))
+    key = jax.random.PRNGKey(7)
+
+    res_fresh = H.run_hmc(vg, opts, mass, m_start, m_start, 5, key)
+    res_amort = H.run_hmc(vg, opts, mass, m_start, m_start, 5, key,
+                          factor_fn=make_factor_fn(prob))
+    np.testing.assert_array_equal(np.asarray(res_amort.accepts),
+                                  np.asarray(res_fresh.accepts))
+    np.testing.assert_allclose(np.asarray(res_amort.models),
+                               np.asarray(res_fresh.models), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_amort.stats),
+                               np.asarray(res_fresh.stats), rtol=1e-5)
