@@ -3,20 +3,30 @@
 Prints ONE JSON line whose required fields are {"metric", "value", "unit",
 "vs_baseline"}; extra fields carry the BASELINE.json metric set:
 
-value               = best HMC samples/sec/chip over the chain-count sweep
+value               = HMC samples/sec/chip at the best measured chain count
                       (each sample = L~U[6,10] leapfrog steps; each step = one
-                      forward + one adjoint PDE sweep over 11 freqs x 2 modes,
-                      solved as ONE batched factorisation).
-ess_per_sec_per_chip= effective samples/sec (bulk ESS over a longer run).
+                      forward + one adjoint PDE sweep over 11 freqs x 2 modes
+                      solved as ONE batched system, with the trajectory-
+                      amortised factorisation refactoring every 4 steps).
+ess_per_sec_per_chip= effective samples/sec (bulk ESS, median over params).
 solves_per_sec      = (freq x mode) forward+adjoint linear-system pairs/sec.
-nfevals             = gradient evaluations in the ESS run (reference counter,
-                      HMCStruct.jl:34).
+nfevals             = gradient evaluations in the ESS run (the reference's
+                      counter, HMCStruct.jl:34).
+flops_per_sec_est   = analytic FLOP estimate / wall: the factorisation is
+                      nzi sequential batched complex 95x95 inverses; at the
+                      measured rate that is <1% of a v5e's ~20 TFLOP/s fp32
+                      (stated per VERDICT; the chip is latency-bound on the
+                      small-matrix LU chain, not FLOP-bound).
 vs_baseline         = ratio vs. a measured CPU reference: SINGLE-THREADED
                       scipy sparse-LU factorisations + solves for the same
                       per-sample solve counts (the reference's Julia
-                      lu/MUMPS pipeline runs 48 MKL threads, so divide by
-                      up to ~number-of-cores for a threaded comparison; the
-                      reference publishes no numbers — see BASELINE.md).
+                      lu/MUMPS pipeline runs 48 MKL threads; the reference
+                      publishes no numbers — see BASELINE.md).
+
+Measurement notes for this environment: the tunneled single-chip TPU runtime
+kernel-faults on some larger-batch programs (>= 16 chains with the LU path),
+so the sweep runs the known-stable config first and treats larger counts as
+best-effort; a fault mid-sweep cannot corrupt the primary numbers.
 """
 
 import json
@@ -26,15 +36,16 @@ import time
 import numpy as np
 
 
-def _build(problem_factory, n_chains):
+def _build(problem_factory, n_chains, amortize=True):
     import jax
     import jax.numpy as jnp
 
     from hmcmt2d_tpu.sampler import hmc as H
-    from hmcmt2d_tpu.sampler.driver import make_potential_vg
+    from hmcmt2d_tpu.sampler.driver import make_factor_fn, make_potential_vg
 
     problem, m0 = problem_factory()
     vg = make_potential_vg(problem, 1.0)
+    factor_fn = make_factor_fn(problem) if amortize else None
     opts = H.HMCOptions(dt=0.03, steps_lo=6, steps_hi=10,
                         log_sig_lo=float(np.log(1e-4)),
                         log_sig_hi=float(np.log(1.0)), reg_param=1.0)
@@ -42,38 +53,14 @@ def _build(problem_factory, n_chains):
     m_start = jnp.broadcast_to(jnp.asarray(m0, jnp.float32),
                                (n_chains, len(m0)))
     run = jax.jit(lambda s, k: H.run_hmc(vg, opts, mass, m_start, m_start,
-                                         s, k), static_argnums=0)
+                                         s, k, factor_fn=factor_fn),
+                  static_argnums=0)
     return problem, run
 
 
-def measure_chain_sweep(problem_factory, chain_counts, n_samples=10):
-    """samples/s per chain count; returns (sweep dict, best count)."""
+def _measure(problem_factory, n_chains, n_samples):
     import jax
     import jax.numpy as jnp
-
-    sweep = {}
-    for c in chain_counts:
-        try:
-            problem, run = _build(problem_factory, c)
-            jax.block_until_ready(run(2, jax.random.PRNGKey(0)).models)
-            t0 = time.time()
-            res = run(n_samples, jax.random.PRNGKey(1))
-            jax.block_until_ready(res.models)
-            dt = time.time() - t0
-            assert bool(jnp.all(jnp.isfinite(res.stats)))
-            sweep[c] = round(c * n_samples / dt, 4)
-        except Exception:
-            break
-    best = max(sweep, key=sweep.get)
-    return sweep, best
-
-
-def measure_ess(problem_factory, n_chains, n_samples=60):
-    """Longer run for effective-sample-size and solve-rate accounting."""
-    import jax
-    import jax.numpy as jnp
-
-    from hmcmt2d_tpu.sampler import diagnostics as D
 
     problem, run = _build(problem_factory, n_chains)
     jax.block_until_ready(run(2, jax.random.PRNGKey(0)).models)
@@ -81,15 +68,27 @@ def measure_ess(problem_factory, n_chains, n_samples=60):
     res = run(n_samples, jax.random.PRNGKey(1))
     jax.block_until_ready(res.models)
     dt = time.time() - t0
+    assert bool(jnp.all(jnp.isfinite(res.stats))), "non-finite sampler stats"
+    return problem, res, dt
 
+
+def measure_ess(problem_factory, n_chains, n_samples=40):
+    """Throughput + effective-sample-size + solve-rate accounting."""
+    from hmcmt2d_tpu.sampler import diagnostics as D
+
+    problem, res, dt = _measure(problem_factory, n_chains, n_samples)
     lf = np.asarray(res.lf_steps)
     nfev = int(lf.sum()) + n_chains          # + init evaluation per chain
     n_freq = problem.fwd.data.n_freq
     # each gradient eval: one forward + one adjoint solve per (freq, mode)
-    solves = nfev * n_freq * 2 * 2
-    # bulk ESS over the second half (treat the first half as burn-in)
+    solves = nfev * n_freq * 2
     half = res.models[n_samples // 2:]
     ess = float(np.median(np.asarray(D.ess(half))))
+    # analytic factorisation FLOPs: ceil(L/4)+init factors per iteration,
+    # nzi x batched complex inverse (~4 * (8/3) q^3 real mult-adds) each
+    q, nzi = problem.mesh.ny - 1, problem.mesh.nz - 1
+    n_fac = int(np.ceil(lf / 4.0).sum()) + n_chains
+    flops = n_fac * n_freq * 2 * nzi * (8.0 / 3.0) * 4 * q ** 3
     return {
         "samples_per_sec": round(n_chains * n_samples / dt, 4),
         "ess_per_sec_per_chip": round(ess / dt, 4),
@@ -97,6 +96,7 @@ def measure_ess(problem_factory, n_chains, n_samples=60):
         "solves_per_sec": round(solves / dt, 1),
         "nfevals": nfev,
         "accept_rate": round(float(np.asarray(res.accepts).mean()), 3),
+        "flops_per_sec_est": round(flops / dt / 1e9, 1),
     }
 
 
@@ -149,24 +149,41 @@ def main():
 
     factory = g._flagship_problem
     on_tpu = jax.default_backend() != "cpu"
-    chain_counts = (8, 16, 32) if on_tpu else (8,)
 
-    sweep, best = measure_chain_sweep(factory, chain_counts)
-    ess_stats = measure_ess(factory, best, n_samples=60 if on_tpu else 10)
+    # primary: the known-stable configuration FIRST (a later device fault
+    # must not cost the headline numbers)
+    base_chains = 8
+    # NOTE: single uninterrupted device programs beyond ~3 minutes trip the
+    # tunneled runtime's watchdog ("kernel fault"); 16 samples ~= 2 min.
+    stats = measure_ess(factory, base_chains,
+                        n_samples=16 if on_tpu else 8)
+    sweep = {str(base_chains): stats["samples_per_sec"]}
+
+    # best-effort larger counts (the tunneled runtime faults on some
+    # larger-batch programs; treat failures as "not measurable")
+    if on_tpu:
+        for c in (12, 16):
+            try:
+                _, res, dt = _measure(factory, c, 10)
+                sweep[str(c)] = round(c * 10 / dt, 4)
+            except Exception:
+                sweep[str(c)] = None
+                break
+
     problem, _ = factory()
     cpu_sps = measure_cpu_baseline(problem)
 
-    best_sps = max(sweep[best], ess_stats["samples_per_sec"])
+    best = max([v for v in sweep.values() if v] + [stats["samples_per_sec"]])
     out = {
         "metric": "hmc_samples_per_sec_per_chip",
-        "value": best_sps,
-        "unit": (f"samples/s ({best} chains, dprism-scale: 96x56 mesh, "
-                 f"11 freqs, TE+TM merged solve)"),
-        "vs_baseline": round(best_sps / cpu_sps, 2),
+        "value": best,
+        "unit": ("samples/s (dprism-scale: 96x56 mesh, 11 freqs, TE+TM "
+                 "merged solve, trajectory-amortised factorisation)"),
+        "vs_baseline": round(best / cpu_sps, 2),
         "baseline_note": "single-threaded scipy splu (ref uses 48 MKL threads)",
-        "chains_sweep": {str(k): v for k, v in sweep.items()},
+        "chains_sweep": sweep,
     }
-    out.update(ess_stats)
+    out.update(stats)
     print(json.dumps(out))
     return 0
 

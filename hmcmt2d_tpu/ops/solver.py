@@ -168,6 +168,146 @@ def bt_solve(fac: BTFactor, b: jax.Array) -> jax.Array:
     return jnp.moveaxis(x, 0, -2)
 
 
+class BTFactorBlocked(NamedTuple):
+    """Block-Thomas factorisation augmented for the grouped (parallel-prefix)
+    solve: z-lines are grouped in blocks of ``g``; within-group prefix
+    products of the recurrence matrices are precomputed at factor time so
+    each triangular sweep needs ~(g + nzi/g) sequential steps instead of nzi.
+
+    The forward sweep is the affine recurrence  y_j = u_j + H_j y_{j-1}
+    (u_j = G_j b_j, H_j = G_j diag(c_{j-1})); the backward sweep is its
+    mirror with H~_j = G_j diag(c_j).  Grouped evaluation: (A) scan the g
+    in-group steps with zero incoming carry, all groups batched; (B) scan
+    the carries across the nzi/g groups using the full-group products; (C)
+    one batched fix-up y = z + Q @ carry.
+    """
+
+    G: jax.Array      # (..., N, q, q) padded inverse Schur complements
+    offz: jax.Array   # (..., nzi-1, q) original couplings (refinement apply)
+    cf: jax.Array     # (..., N, q) forward coupling c_{j-1} (0 at j=0 / pad)
+    cb: jax.Array     # (..., N, q) backward coupling c_j (0 at j=N-1 / pad)
+    Qf: jax.Array     # (..., N, q, q) forward prefix products Q_{k,i}
+    Qb: jax.Array     # (..., N, q, q) backward prefix products (reversed order)
+
+
+_BT_GROUP = 8
+
+
+def _group_prefix(H: jax.Array, g: int) -> jax.Array:
+    """Within-group inclusive prefix products Q_{k,i} = H_{kg+i} ... H_{kg}.
+
+    H is (..., N, q, q) with N divisible by g; sequential over the g
+    in-group positions (g-1 batched matmuls, MXU work), batched over groups.
+    """
+    shape = H.shape
+    N, q = shape[-3], shape[-1]
+    K = N // g
+    Hk = H.reshape(shape[:-3] + (K, g, q, q))
+    Qs = [Hk[..., 0, :, :]]
+    for i in range(1, g):
+        Qs.append(Hk[..., i, :, :] @ Qs[-1])
+    Q = jnp.stack(Qs, axis=-3)
+    return Q.reshape(shape)
+
+
+def bt_factor_blocked(sys: InteriorSystem, inv_fn=jnp.linalg.inv,
+                      g: int = _BT_GROUP) -> BTFactorBlocked:
+    """Thomas factorisation + grouped-solve prefix products."""
+    base = bt_factor(sys, inv_fn=inv_fn)
+    G, offz = base.G, base.offz
+    q = G.shape[-1]
+    nzi = G.shape[-3]
+    N = -(-nzi // g) * g
+    batch = G.shape[:-3]
+    c = offz.astype(G.dtype)
+    zline = jnp.zeros(batch + (1, q), G.dtype)
+    # c_prev aligned to lines: c_{-1} = 0; pad the tail with zeros
+    cf = jnp.concatenate([zline, c] + [jnp.zeros(batch + (N - nzi, q), G.dtype)]
+                         * (1 if N > nzi else 0), axis=-2)
+    cb = jnp.concatenate([c, zline] + [jnp.zeros(batch + (N - nzi, q), G.dtype)]
+                         * (1 if N > nzi else 0), axis=-2)
+    if N > nzi:
+        G = jnp.concatenate(
+            [G, jnp.zeros(batch + (N - nzi, q, q), G.dtype)], axis=-3)
+    Hf = G * cf[..., None, :]
+    Hb = G * cb[..., None, :]
+    Qf = _group_prefix(Hf, g)
+    Qb = _group_prefix(Hb[..., ::-1, :, :], g)
+    return BTFactorBlocked(G=G, offz=offz, cf=cf, cb=cb, Qf=Qf, Qb=Qb)
+
+
+def _blocked_affine_scan(u: jax.Array, G: jax.Array, c: jax.Array,
+                         Q: jax.Array, g: int) -> jax.Array:
+    """Solve y_j = u_j + (G_j diag(c_j)) y_{j-1}, j = 0..N-1 (y_{-1} = 0),
+    in ~(g + N/g) sequential steps.  All inputs padded to N = K*g.
+    """
+    q = u.shape[-1]
+    N = u.shape[-2]
+    K = N // g
+    batch = u.shape[:-2]
+    uk = u.reshape(batch + (K, g, q))
+    Gk = G.reshape(batch + (K, g, q, q))
+    ck = c.reshape(batch + (K, g, q))
+    Qk = Q.reshape(batch + (K, g, q, q))
+
+    # (A) in-group scan with zero incoming carry, groups batched
+    def stepA(z_prev, i):
+        z = uk[..., i, :] + _mv(Gk[..., i, :, :], ck[..., i, :] * z_prev)
+        return z, z
+
+    z0 = uk[..., 0, :]
+    _, zs = lax.scan(stepA, z0, jnp.arange(1, g))
+    z = jnp.concatenate([z0[None], zs], axis=0)       # (g, ..., K, q)
+    z = jnp.moveaxis(z, 0, -2)                        # (..., K, g, q)
+
+    # (B) carry scan across groups: carry_k = z_{k,g-1} + P_k carry_{k-1}
+    P = Qk[..., g - 1, :, :]                          # full-group products
+    zlast = z[..., g - 1, :]
+    P_m = jnp.moveaxis(P, -3, 0)                      # (K, ..., q, q)
+    zl_m = jnp.moveaxis(zlast, -2, 0)
+
+    def stepB(carry, inp):
+        Pk, zk = inp
+        cy = zk + _mv(Pk, carry)
+        return cy, cy
+
+    zero = jnp.zeros(batch + (q,), u.dtype)
+    _, carries = lax.scan(stepB, zero, (P_m, zl_m))   # carries[k] = y at group end
+    # incoming carry per group: 0 for k=0, carries[k-1] otherwise
+    cin = jnp.concatenate([zero[None], carries[:-1]], axis=0)
+    cin = jnp.moveaxis(cin, 0, -2)                    # (..., K, q)
+
+    # (C) fix-up: y_{k,i} = z_{k,i} + Q_{k,i} cin_k   (one batched matvec)
+    y = z + jnp.einsum("...kiab,...kb->...kia", Qk, cin)
+    return y.reshape(batch + (N, q))
+
+
+def bt_solve_blocked(fac: BTFactorBlocked, b: jax.Array,
+                     g: int = _BT_GROUP) -> jax.Array:
+    """Grouped triangular sweeps; same result as :func:`bt_solve`."""
+    G, cf, cb, Qf, Qb = fac.G, fac.cf, fac.cb, fac.Qf, fac.Qb
+    q = G.shape[-1]
+    N = G.shape[-3]
+    nzi = b.shape[-2]
+    b = b.astype(G.dtype)
+    if N > nzi:
+        b = jnp.concatenate(
+            [b, jnp.zeros(b.shape[:-2] + (N - nzi, q), G.dtype)], axis=-2)
+
+    # forward: y_j = G_j b_j + H_j y_{j-1}; fold G_j b_j into the scan's u
+    u = _mv(G, b)
+    y = _blocked_affine_scan(u, G, cf, Qf, g)
+
+    # backward: x_j = y_j + H~_j x_{j+1} — the same affine recurrence on the
+    # reversed line order with additive term y (no extra G application)
+    yr = y[..., ::-1, :]
+    Gr = G[..., ::-1, :, :]
+    cr = cb[..., ::-1, :]
+    xr = _blocked_affine_scan(yr, Gr, cr, Qb, g)
+    x = xr[..., ::-1, :]
+    return x[..., :nzi, :]
+
+
 def equilibrate(sys: InteriorSystem) -> tuple[InteriorSystem, jax.Array]:
     """Symmetric diagonal scaling s A s with s = 1/sqrt(|diag|).
 
@@ -397,6 +537,8 @@ def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr",
     inv_fn = inv_nopivot if inv_method == "gj" else jnp.linalg.inv
     if method == "bcr":
         fac = bcr_factor(ssys, inv_fn=inv_fn)
+    elif method == "thomas_blocked":
+        fac = bt_factor_blocked(ssys, inv_fn=inv_fn)
     else:
         fac = bt_factor(ssys, inv_fn=inv_fn)
     return Factorization(fac, s)
@@ -405,6 +547,8 @@ def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr",
 def factor_solve(f: Factorization, b: jax.Array) -> jax.Array:
     if isinstance(f.fac, BCRFactor):
         return f.s * bcr_solve(f.fac, f.s * b)
+    if isinstance(f.fac, BTFactorBlocked):
+        return f.s * bt_solve_blocked(f.fac, f.s * b)
     return f.s * bt_solve(f.fac, f.s * b)
 
 

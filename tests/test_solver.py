@@ -192,3 +192,34 @@ def test_batched_over_frequency():
         sys_i = S.interior_system(st, om)
         x_i = np.asarray(S.direct_solve(sys_i, jnp.asarray(b[i])))
         np.testing.assert_allclose(x_b[i], x_i, rtol=1e-10)
+
+
+def test_blocked_thomas_solve_matches_scipy():
+    """Grouped (parallel-prefix) Thomas sweeps vs plain Thomas vs scipy,
+    including non-multiple-of-group line counts and the refinement combo."""
+    for mode in ("TE", "TM"):
+        for ny, nz in ((12, 9), (10, 18), (8, 6)):
+            msh, st, omega, Aii, (nzi, nyi) = _problem(mode, ny=ny, nz=nz)
+            sys = S.interior_system(st, omega)
+            rng = np.random.default_rng(47)
+            b = rng.standard_normal((nzi, nyi)) + 1j * rng.standard_normal((nzi, nyi))
+            want = spla.spsolve(Aii, b.ravel()).reshape(nzi, nyi)
+            fac = S.factorize(sys, method="thomas_blocked")
+            x = np.asarray(S.factor_solve(fac, jnp.asarray(b)))
+            np.testing.assert_allclose(x, want, rtol=1e-8,
+                                       atol=1e-10 * np.abs(want).max(),
+                                       err_msg=f"{mode} {ny}x{nz}")
+
+    # batched + complex64 + refinement (the TPU production combo)
+    msh, st, omega, Aii, (nzi, nyi) = _problem("TM", freq=0.5)
+    freqs = 2 * np.pi * np.array([0.05, 5.0])
+    sys_b = S.interior_system(st, jnp.asarray(freqs)[:, None, None])
+    sys32 = S.interior_system(st, jnp.asarray(freqs)[:, None, None],
+                              dtype=jnp.complex64)
+    fac32 = S.factorize(sys32, dtype=jnp.complex64, method="thomas_blocked")
+    rng = np.random.default_rng(53)
+    b = rng.standard_normal((2, nzi, nyi)) + 1j * rng.standard_normal((2, nzi, nyi))
+    want = np.stack([np.asarray(S.direct_solve(
+        S.interior_system(st, om), jnp.asarray(bb))) for om, bb in zip(freqs, b)])
+    x = np.asarray(S.refined_solve(sys_b, fac32, jnp.asarray(b), iters=3))
+    np.testing.assert_allclose(x, want, rtol=1e-9, atol=1e-11 * np.abs(want).max())
