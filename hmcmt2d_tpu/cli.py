@@ -129,10 +129,12 @@ def cmd_forward(args):
     from .io.data_io import write_data
     from .models.forward import make_forward
 
+    from .utils.host import to_host
+
     cfg, mesh, sigma2d, data, obs, err = read_startup(args.startupfile)
     fwd = make_forward(mesh, data, _solve_cfg(args))
     t0 = time.time()
-    pred = np.asarray(jax.jit(fwd.predict)(jnp.asarray(np.asarray(sigma2d))))
+    pred = to_host(jax.jit(fwd.predict)(jnp.asarray(np.asarray(sigma2d))))
     wall = time.time() - t0
     res = pred - obs
     nrms = float(np.sqrt(np.mean(np.abs(res / np.maximum(np.abs(err), 1e-300)) ** 2)))

@@ -18,6 +18,7 @@ import os
 import numpy as np
 
 from . import hmc as H
+from ..utils.host import to_host
 
 
 FORMAT_VERSION = 3
@@ -41,7 +42,7 @@ def save_checkpoint(path: str, *, n_done: int, state: H.ChainState, key,
         state_grad=np.asarray(state.grad),
         state_misfit=np.asarray(state.misfit),
         state_mnorm=np.asarray(state.mnorm),
-        state_pred=np.asarray(state.pred),
+        state_pred=to_host(state.pred),
         mass_sqrt=np.asarray(mass.sqrt_m),
         mass_inv=np.asarray(mass.inv_m),
         mass_diagonal=bool(mass.diagonal),
@@ -49,7 +50,7 @@ def save_checkpoint(path: str, *, n_done: int, state: H.ChainState, key,
         models=np.asarray(models),
         stats=np.asarray(stats),
         accepts=np.asarray(accepts),
-        pred=np.asarray(pred),
+        pred=to_host(pred),
         lf_steps=np.asarray(lf_steps),
         start_stats=np.asarray(start_stats),
         start_pred=np.asarray(start_pred),

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.startup import HMCConfig
+from ..utils.host import to_host, tree_to_host
 from ..models.forward import SolveConfig
 from ..models.posterior import InverseProblem, build_inverse_problem
 from . import adapt as A
@@ -204,11 +205,11 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             jax.block_until_ready(wres.models)
             opts = dataclasses.replace(opts, dt=float(info.dt))
             start_stats = wres.start_stats
-            start_pred = wres.start_pred
+            start_pred = to_host(wres.start_pred)
             acc_models.append(np.asarray(wres.models))
             acc_stats.append(np.asarray(wres.stats))
             acc_accepts.append(np.asarray(wres.accepts))
-            acc_pred.append(np.asarray(wres.pred))
+            acc_pred.append(to_host(wres.pred))
             acc_lf.append(np.asarray(wres.lf_steps))
             log(f"warmup {n_warm} iters in {time.time() - t0:.1f}s: adapted "
                 f"dt={opts.dt:.4g}, accept~{float(info.alpha_mean):.2f}, "
@@ -247,11 +248,11 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         n_done += n_seg
         if start_stats is None:
             start_stats = res.start_stats
-            start_pred = res.start_pred
+            start_pred = to_host(res.start_pred)
         acc_models.append(np.asarray(res.models))
         acc_stats.append(np.asarray(res.stats))
         acc_accepts.append(np.asarray(res.accepts))
-        acc_pred.append(np.asarray(res.pred))
+        acc_pred.append(to_host(res.pred))
         acc_lf.append(np.asarray(res.lf_steps))
         log(f"samples {n_done - n_seg + 1}..{n_done}/{n_main}: "
             f"misfit={float(np.asarray(res.stats)[-1, :, 0].mean()):.4g} "
@@ -260,7 +261,8 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             f"({n_seg * res.models.shape[1] / (time.time() - t_seg):.2f} samples/s)")
         if checkpoint_path:
             C.save_checkpoint(
-                checkpoint_path, n_done=n_done, state=state, key=key_main,
+                checkpoint_path, n_done=n_done, state=tree_to_host(state),
+                key=key_main,
                 dt=opts.dt, mass=mass, m_ref=m_ref,
                 models=np.concatenate(acc_models),
                 stats=np.concatenate(acc_stats),
@@ -268,16 +270,16 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                 pred=np.concatenate(acc_pred),
                 lf_steps=np.concatenate(acc_lf),
                 start_stats=np.asarray(start_stats),
-                start_pred=np.asarray(start_pred),
+                start_pred=to_host(start_pred),
                 n_warm=n_warm, wall_time=wall_prev + time.time() - t0)
 
     result = H.HMCResult(
         models=jnp.asarray(np.concatenate(acc_models)),
         stats=jnp.asarray(np.concatenate(acc_stats)),
         accepts=jnp.asarray(np.concatenate(acc_accepts)),
-        pred=jnp.asarray(np.concatenate(acc_pred)),
+        pred=np.concatenate(acc_pred),
         final=state, start_stats=jnp.asarray(start_stats),
-        start_pred=jnp.asarray(start_pred),
+        start_pred=np.asarray(to_host(start_pred)),
         lf_steps=jnp.asarray(np.concatenate(acc_lf)))
     wall = wall_prev + time.time() - t0
 

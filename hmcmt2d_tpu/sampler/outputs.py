@@ -16,6 +16,7 @@ import numpy as np
 from ..io.model_io import write_model
 from ..models.posterior import InverseProblem
 from ..utils import transforms as T
+from ..utils.host import to_host
 
 
 def posterior_mean_std(models: np.ndarray, burnin: int):
@@ -62,7 +63,7 @@ def write_chain_outputs(models, stats, accepts, pred, start_stats,
     models = np.asarray(models)[:, chain]
     stats = np.asarray(stats)[:, chain]
     accepts = np.asarray(accepts)[:, chain]
-    pred = np.asarray(pred)[:, chain]
+    pred = to_host(pred)[:, chain]
     start = np.asarray(start_stats)[chain]
     S = models.shape[0]
 
@@ -73,7 +74,7 @@ def write_chain_outputs(models, stats, accepts, pred, start_stats,
     # S+1 rows: the start-model predicted data first, as the reference writes
     # (outputHMCSamples, HMCSampler.jl:801-808)
     rows = pred if start_pred is None else np.concatenate(
-        [np.asarray(start_pred)[None, chain], pred])
+        [to_host(start_pred)[None, chain], pred])
     with open(os.path.join(outdir, f"hmcsamples_id{ichain}.data"), "w") as f:
         for row in rows:
             if np.iscomplexobj(rows):
