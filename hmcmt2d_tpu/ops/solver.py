@@ -117,12 +117,20 @@ def bt_factor(sys: InteriorSystem, inv_fn=jnp.linalg.inv) -> BTFactor:
     T_m = jnp.moveaxis(T, -3, 0)                       # (nzi, ..., nyi, nyi)
     offz_m = jnp.moveaxis(offz.astype(diag.dtype), -2, 0)  # (nzi-1, ..., nyi)
 
-    G0 = inv_fn(T_m[0])
+    def inv_c(A):
+        # collapse batch dims to one before inverting: the TPU LU custom
+        # call SILENTLY returns wrong results above ~3 batch dims (observed
+        # on the tunneled v5e: a 5-D batched inv corrupted every vmapped
+        # chain's solve while the 4-D unbatched case was correct)
+        shape = A.shape
+        return inv_fn(A.reshape((-1,) + shape[-2:])).reshape(shape)
+
+    G0 = inv_c(T_m[0])
 
     def step(G_prev, inputs):
         T_j, c_prev = inputs
         S = T_j - c_prev[..., :, None] * G_prev * c_prev[..., None, :]
-        G = inv_fn(S)
+        G = inv_c(S)
         return G, G
 
     _, Gs = lax.scan(step, G0, (T_m[1:], offz_m))
