@@ -147,6 +147,10 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
         mass = MassMatrix(sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
         new, accept, stats, alpha, L = step(state, k, m_ref, jnp.exp(da.log_eps), mass)
 
+        # a diverged trajectory (non-finite dH, e.g. float32 field overflow at
+        # a too-large trial step) is a rejection with acceptance probability 0
+        # — without this guard one NaN poisons the dual averaging forever
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
         alpha_mean = pool_mean(alpha)
         da = _da_update(da, alpha_mean, w)
 
