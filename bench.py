@@ -36,6 +36,27 @@ import time
 import numpy as np
 
 
+def _realistic(problem_factory):
+    """Flagship problem with observations generated from its own start model
+    plus 3% noise, so the sampler has a sane posterior (the raw factory uses
+    placeholder obs, which makes acceptance statistics meaningless)."""
+    import jax.numpy as jnp
+
+    from hmcmt2d_tpu.utils.host import to_host
+
+    problem, m0 = problem_factory()
+    sig = problem.sigma2d(jnp.asarray(m0, jnp.float32))
+    obs = to_host(problem.fwd.predict(sig))
+    rng = np.random.default_rng(0)
+    noise = (rng.standard_normal(len(obs)) + 1j * rng.standard_normal(len(obs)))
+    obs = obs * (1 + 0.03 * noise / np.sqrt(2))
+    err = 0.03 * np.abs(obs)
+    problem = problem.__class__(fwd=problem.fwd, obs=obs, weights=1.0 / err,
+                                active_idx=problem.active_idx,
+                                bg_flat=problem.bg_flat)
+    return problem, m0
+
+
 def _build(problem_factory, n_chains, amortize=True):
     import jax
     import jax.numpy as jnp
@@ -43,7 +64,7 @@ def _build(problem_factory, n_chains, amortize=True):
     from hmcmt2d_tpu.sampler import hmc as H
     from hmcmt2d_tpu.sampler.driver import make_factor_fn, make_potential_vg
 
-    problem, m0 = problem_factory()
+    problem, m0 = _realistic(problem_factory)
     vg = make_potential_vg(problem, 1.0)
     factor_fn = make_factor_fn(problem) if amortize else None
     opts = H.HMCOptions(dt=0.03, steps_lo=6, steps_hi=10,
@@ -152,26 +173,32 @@ def main():
 
     # primary: the known-stable configuration FIRST (a later device fault
     # must not cost the headline numbers)
-    base_chains = 8
+    # C=1 is both the valid-sampling configuration on this runtime (its
+    # vmap-grad miscompile needs >=2 chains) and, measured, the highest
+    # samples/s/chip (per-gradient cost scales with the chain batch)
+    base_chains = 1
     # NOTE: single uninterrupted device programs beyond ~3 minutes trip the
-    # tunneled runtime's watchdog ("kernel fault"); 16 samples ~= 2 min.
+    # tunneled runtime's watchdog ("kernel fault").
     stats = measure_ess(factory, base_chains,
-                        n_samples=16 if on_tpu else 8)
+                        n_samples=40 if on_tpu else 8)
     sweep = {str(base_chains): stats["samples_per_sec"]}
 
-    # best-effort larger counts (the tunneled runtime faults on some
+    # CPU-side baseline before any risky device work (pure scipy, but the
+    # problem build itself issues eager device ops — a wedged device after a
+    # failed sweep attempt must not be able to kill the report)
+    problem, _ = factory()
+    cpu_sps = measure_cpu_baseline(problem)
+
+    # best-effort larger counts LAST (the tunneled runtime faults on some
     # larger-batch programs; treat failures as "not measurable")
     if on_tpu:
-        for c in (12, 16):
+        for c in (8, 12):
             try:
                 _, res, dt = _measure(factory, c, 10)
                 sweep[str(c)] = round(c * 10 / dt, 4)
             except Exception:
                 sweep[str(c)] = None
                 break
-
-    problem, _ = factory()
-    cpu_sps = measure_cpu_baseline(problem)
 
     best = max([v for v in sweep.values() if v] + [stats["samples_per_sec"]])
     out = {
