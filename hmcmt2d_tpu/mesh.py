@@ -112,20 +112,24 @@ def _ave_cn(x: jax.Array, axis: int) -> jax.Array:
     """Cell-to-node averaging along ``axis``: half-weights in the interior and
     weight 1.0 on the two boundary nodes (``avcn``, MT2DOperators.jl:183-190).
 
-    Input length n along ``axis`` -> output length n+1.
+    Input length n along ``axis`` -> output length n+1.  ``axis`` should be
+    negative so leading batch dimensions (e.g. chains) pass through.
     """
+    n = x.shape[axis]
     lo = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
-    hi = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)
-    a = jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)
-    b = jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis)
+    hi = jax.lax.slice_in_dim(x, n - 1, n, axis=axis)
+    a = jax.lax.slice_in_dim(x, 0, n - 1, axis=axis)
+    b = jax.lax.slice_in_dim(x, 1, n, axis=axis)
     return jnp.concatenate([lo, 0.5 * (a + b), hi], axis=axis)
 
 
 def _edge_and_mass(mesh: TensorMesh2D, face_cell: jax.Array, mass_cell: jax.Array) -> Stencil:
     """Shared TE/TM coefficient assembly.
 
-    ``face_cell``/``mass_cell`` are cell fields (nz, ny): the material carried
-    by the gradient term and the i*omega mass term respectively.
+    ``face_cell``/``mass_cell`` are cell fields (..., nz, ny) — optional
+    leading batch dimensions (chains) broadcast straight through: the
+    material carried by the gradient term and the i*omega mass term
+    respectively.
     """
     dy = mesh.y_len[None, :]   # (1, ny)
     dz = mesh.z_len[:, None]   # (nz, 1)
@@ -135,13 +139,13 @@ def _edge_and_mass(mesh: TensorMesh2D, face_cell: jax.Array, mass_cell: jax.Arra
     # y-edges: average the cell quantity in z (aveCell2Face2D block A2,
     # MT2DOperators.jl:126-129), then scale by the squared inverse edge length
     # coming from the two length-scaled gradients (meshGeoEdgeInv2D, :104-115).
-    cy = _ave_cn(fa, axis=0) / (dy * dy)
+    cy = _ave_cn(fa, axis=-2) / (dy * dy)
     # z-edges: average in y (block A1).
-    cz = _ave_cn(fa, axis=1) / (dz * dz)
+    cz = _ave_cn(fa, axis=-1) / (dz * dz)
 
     # node mass: kron(avcn(nz), avcn(ny)) applied to area*mass
     # (aveCell2Node2D, MT2DOperators.jl:118-122).
-    m = _ave_cn(_ave_cn(area * mass_cell, axis=1), axis=0)
+    m = _ave_cn(_ave_cn(area * mass_cell, axis=-1), axis=-2)
     return Stencil(cy=cy, cz=cz, m=m)
 
 

@@ -122,31 +122,31 @@ def make_rx_interp(mesh: M.TensorMesh2D, rx_loc: np.ndarray) -> RxInterp:
 
 
 def boundary_profiles(mesh: M.TensorMesh2D, sigma2d: jax.Array) -> jax.Array:
-    """1-D conductivity profiles for all boundary columns: (ny+1, nz).
+    """1-D conductivity profiles for all boundary columns: (..., ny+1, nz).
 
     Row 0 = left column, row ny = right column, rows 1..ny-1 = the
     y-width-weighted averages used for the bottom boundary
-    (mt2DTE.jl:115-131)."""
+    (mt2DTE.jl:115-131).  ``sigma2d`` may carry leading batch (chain) axes."""
     dy = mesh.y_len
-    left = sigma2d[:, 0]
-    right = sigma2d[:, -1]
-    mid = (sigma2d[:, :-1] * dy[:-1] + sigma2d[:, 1:] * dy[1:]) / (dy[:-1] + dy[1:])
-    # columns: [left, mid_1..mid_{ny-1}, right] -> transpose to (ny+1, nz)
-    cols = jnp.concatenate([left[:, None], mid, right[:, None]], axis=1)
-    return cols.T
+    left = sigma2d[..., :, :1]
+    right = sigma2d[..., :, -1:]
+    mid = (sigma2d[..., :, :-1] * dy[:-1] + sigma2d[..., :, 1:] * dy[1:]) / (dy[:-1] + dy[1:])
+    # columns: [left, mid_1..mid_{ny-1}, right] -> swap to (..., ny+1, nz)
+    cols = jnp.concatenate([left, mid, right], axis=-1)
+    return jnp.swapaxes(cols, -1, -2)
 
 
-def _bc_from_profile_field(mesh, f, nfreq, dtype):
-    """Scatter normalised 1-D profile fields (nfreq, ny+1, nz+1) onto the
-    Dirichlet boundary ring of the node grid."""
+def _bc_from_profile_field(mesh, f, dtype):
+    """Scatter normalised 1-D profile fields (..., ny+1, nz+1) onto the
+    Dirichlet boundary ring of the node grid -> (..., nz+1, ny+1)."""
     ny, nz = mesh.ny, mesh.nz
     f = f / f[..., :1]                                     # normalise to 1 at top
-    bc = jnp.zeros((nfreq, nz + 1, ny + 1), dtype)
+    bc = jnp.zeros(f.shape[:-2] + (nz + 1, ny + 1), dtype)
     one = jnp.ones((), dtype)
-    bc = bc.at[:, 0, :].set(one)                           # top (mt2DTE.jl:112)
-    bc = bc.at[:, 1:, 0].set(f[:, 0, 1:])                  # left
-    bc = bc.at[:, 1:, ny].set(f[:, ny, 1:])                # right
-    bc = bc.at[:, nz, 1:ny].set(f[:, 1:ny, nz])            # bottom interior
+    bc = bc.at[..., 0, :].set(one)                         # top (mt2DTE.jl:112)
+    bc = bc.at[..., 1:, 0].set(f[..., 0, 1:])              # left
+    bc = bc.at[..., 1:, ny].set(f[..., ny, 1:])            # right
+    bc = bc.at[..., nz, 1:ny].set(f[..., 1:ny, nz])        # bottom interior
     return bc
 
 
@@ -157,44 +157,32 @@ def boundary_grids_both(mesh: M.TensorMesh2D, sigma2d: jax.Array,
     ``analytic_field(with_h=True)`` yields both E (TE boundary) and H (TM
     boundary) per column profile, so the merged-mode solve needs a single
     batched propagator call (the reference runs getBoundaryMT2DTE and
-    getBoundaryMT2DTM separately).  Returns (nfreq, 2, nz+1, ny+1) with
-    mode axis [TE, TM].
+    getBoundaryMT2DTM separately).  Returns (nfreq, ..., 2, nz+1, ny+1) with
+    mode axis [TE, TM]; ``...`` = any leading batch (chain) axes of sigma2d.
     """
-    profiles = boundary_profiles(mesh, sigma2d)            # (ny+1, nz)
-    dz = mesh.z_len
-    om = omegas[:, None, None]
-    e, h = mt1d.analytic_field(om, profiles[None], dz[None, None],
-                               with_h=True, dtype=dtype)
-    nfreq = omegas.shape[0]
-    bc_te = _bc_from_profile_field(mesh, e, nfreq, dtype)
-    bc_tm = _bc_from_profile_field(mesh, h, nfreq, dtype)
-    return jnp.stack([bc_te, bc_tm], axis=1)
+    profiles = boundary_profiles(mesh, sigma2d)            # (..., ny+1, nz)
+    om = omegas.reshape((-1,) + (1,) * profiles.ndim)
+    e, h = mt1d.analytic_field(om, profiles[None], mesh.z_len,
+                               with_h=True, dtype=dtype)   # (nfreq, ..., ny+1, nz+1)
+    bc_te = _bc_from_profile_field(mesh, e, dtype)
+    bc_tm = _bc_from_profile_field(mesh, h, dtype)
+    return jnp.stack([bc_te, bc_tm], axis=-3)
 
 
 def boundary_grid(mesh: M.TensorMesh2D, sigma2d: jax.Array, omegas: jax.Array,
                   mode: str, dtype) -> jax.Array:
-    """Dirichlet boundary values on the full node grid: (nfreq, nz+1, ny+1).
+    """Dirichlet boundary values on the full node grid: (nfreq, ..., nz+1, ny+1).
 
     Top boundary is 1, left/right columns carry the normalised 1-D analytic
     field at every depth node, and the bottom row carries the normalised
     bottom value of each column profile (getBoundaryMT2DTE/TM)."""
-    ny, nz = mesh.ny, mesh.nz
-    profiles = boundary_profiles(mesh, sigma2d)            # (ny+1, nz)
-    dz = mesh.z_len
-    om = omegas[:, None, None]                             # broadcast (nfreq,1,1)
+    profiles = boundary_profiles(mesh, sigma2d)            # (..., ny+1, nz)
+    om = omegas.reshape((-1,) + (1,) * profiles.ndim)
     if mode == "TE":
-        f = mt1d.analytic_field(om, profiles[None], dz[None, None], dtype=dtype)
+        f = mt1d.analytic_field(om, profiles[None], mesh.z_len, dtype=dtype)
     else:
-        _, f = mt1d.analytic_field(om, profiles[None], dz[None, None], with_h=True, dtype=dtype)
-    f = f / f[..., :1]                                     # normalise to 1 at top
-    nfreq = omegas.shape[0]
-    bc = jnp.zeros((nfreq, nz + 1, ny + 1), dtype)
-    one = jnp.ones((), dtype)
-    bc = bc.at[:, 0, :].set(one)                           # top (mt2DTE.jl:112)
-    bc = bc.at[:, 1:, 0].set(f[:, 0, 1:])                  # left
-    bc = bc.at[:, 1:, ny].set(f[:, ny, 1:])                # right
-    bc = bc.at[:, nz, 1:ny].set(f[:, 1:ny, nz])            # bottom interior
-    return bc
+        _, f = mt1d.analytic_field(om, profiles[None], mesh.z_len, with_h=True, dtype=dtype)
+    return _bc_from_profile_field(mesh, f, dtype)
 
 
 def _cast_stencil(st: M.Stencil, rdt) -> M.Stencil:
@@ -272,34 +260,42 @@ def _pair_mean(x, w):
     return (x[..., :-1] * w[:-1] + x[..., 1:] * w[1:]) / (w[:-1] + w[1:])
 
 
+def _om_col(omegas, fields, dtype):
+    """Frequency column broadcastable against row fields extracted from
+    ``fields``: (nfreq,) + as many singleton axes as fields has batch+space
+    axes after dropping z (i.e. fields.ndim - 2)."""
+    return omegas.astype(dtype).reshape((-1,) + (1,) * (fields.ndim - 2))
+
+
 def rx_fields_te(omegas, mesh: M.TensorMesh2D, sigma2d, fields, rx: RxInterp):
     """Surface Ex, Hy at receivers from the two node rows bracketing them.
 
     Vectorised equivalent of compFieldsAtRxTE (mt2DTE.jl:153-210): Hy at the
     receiver level is recovered from a discrete Ampere's-law correction using
-    quarter-point Hz and Ex fields.
+    quarter-point Hz and Ex fields.  ``fields`` is (nfreq, ..., nz+1, ny+1)
+    and ``sigma2d`` (..., nz, ny) with matching batch (chain) axes.
     """
     dy = mesh.y_len.astype(jnp.real(fields).dtype)
     dz1 = mesh.z_len[rx.zid].astype(dy.dtype)
-    sigma1 = sigma2d[rx.zid].astype(dy.dtype)              # receiver-layer cells
-    om = omegas.astype(dy.dtype)[:, None]
+    sigma1 = sigma2d[..., rx.zid, :].astype(dy.dtype)      # (..., ny) rx-layer cells
+    om = _om_col(omegas, fields, dy.dtype)
 
-    E0 = fields[:, rx.zid, :]                              # (nfreq, ny+1)
-    E1 = fields[:, rx.zid + 1, :]
+    E0 = fields[..., rx.zid, :]                            # (nfreq, ..., ny+1)
+    E1 = fields[..., rx.zid + 1, :]
 
     iom = lax.complex(jnp.zeros_like(om), om)
-    Bz0 = (E0[:, 1:] - E0[:, :-1]) / dy / iom
-    Bz1 = (E1[:, 1:] - E1[:, :-1]) / dy / iom
-    HzQ = (0.75 * Bz0 + 0.25 * Bz1) / MU0                  # (nfreq, ny)
-    HyH = -(E1[:, 1:-1] - E0[:, 1:-1]) / dz1 / (iom * MU0)  # (nfreq, ny-1)
-    ExQ = 0.75 * E0[:, 1:-1] + 0.25 * E1[:, 1:-1]
-    sigma1v = _pair_mean(sigma1, dy)                       # (ny-1,)
-    dHzQ = (HzQ[:, 1:] - HzQ[:, :-1]) / (0.5 * (dy[:-1] + dy[1:]))
+    Bz0 = (E0[..., 1:] - E0[..., :-1]) / dy / iom
+    Bz1 = (E1[..., 1:] - E1[..., :-1]) / dy / iom
+    HzQ = (0.75 * Bz0 + 0.25 * Bz1) / MU0                  # (nfreq, ..., ny)
+    HyH = -(E1[..., 1:-1] - E0[..., 1:-1]) / dz1 / (iom * MU0)  # (nfreq, ..., ny-1)
+    ExQ = 0.75 * E0[..., 1:-1] + 0.25 * E1[..., 1:-1]
+    sigma1v = _pair_mean(sigma1, dy)                       # (..., ny-1)
+    dHzQ = (HzQ[..., 1:] - HzQ[..., :-1]) / (0.5 * (dy[:-1] + dy[1:]))
     Hy_in = HyH - (dHzQ - sigma1v * ExQ) * (0.5 * dz1)
-    Hy0 = jnp.concatenate([Hy_in[:, :1], Hy_in, Hy_in[:, -1:]], axis=1)
+    Hy0 = jnp.concatenate([Hy_in[..., :1], Hy_in, Hy_in[..., -1:]], axis=-1)
 
-    Ex_r = rx.w0 * E0[:, rx.idx] + rx.w1 * E0[:, rx.idx + 1]
-    Hy_r = rx.w0 * Hy0[:, rx.idx] + rx.w1 * Hy0[:, rx.idx + 1]
+    Ex_r = rx.w0 * E0[..., rx.idx] + rx.w1 * E0[..., rx.idx + 1]
+    Hy_r = rx.w0 * Hy0[..., rx.idx] + rx.w1 * Hy0[..., rx.idx + 1]
     return Ex_r, Hy_r
 
 
@@ -307,26 +303,26 @@ def rx_fields_tm(omegas, mesh: M.TensorMesh2D, sigma2d, fields, rx: RxInterp):
     """Surface Ey, Hx at receivers: the Faraday-law dual (mt2DTM.jl:152-210)."""
     dy = mesh.y_len.astype(jnp.real(fields).dtype)
     dz1 = mesh.z_len[rx.zid].astype(dy.dtype)
-    sigma1 = sigma2d[rx.zid].astype(dy.dtype)
-    om = omegas.astype(dy.dtype)[:, None]
+    sigma1 = sigma2d[..., rx.zid, :].astype(dy.dtype)
+    om = _om_col(omegas, fields, dy.dtype)
 
-    H0 = fields[:, rx.zid, :]
-    H1 = fields[:, rx.zid + 1, :]
+    H0 = fields[..., rx.zid, :]
+    H1 = fields[..., rx.zid + 1, :]
 
-    Jz0 = -(H0[:, 1:] - H0[:, :-1]) / dy
-    Jz1 = -(H1[:, 1:] - H1[:, :-1]) / dy
-    EzQ = (0.75 * Jz0 + 0.25 * Jz1) / sigma1               # (nfreq, ny)
-    JyH = (H1[:, 1:-1] - H0[:, 1:-1]) / dz1
+    Jz0 = -(H0[..., 1:] - H0[..., :-1]) / dy
+    Jz1 = -(H1[..., 1:] - H1[..., :-1]) / dy
+    EzQ = (0.75 * Jz0 + 0.25 * Jz1) / sigma1               # (nfreq, ..., ny)
+    JyH = (H1[..., 1:-1] - H0[..., 1:-1]) / dz1
     rho1v = _pair_mean(1.0 / sigma1, dy)
     EyH = JyH * rho1v
-    HxQ = 0.75 * H0[:, 1:-1] + 0.25 * H1[:, 1:-1]
-    dEzQ = (EzQ[:, 1:] - EzQ[:, :-1]) / (0.5 * (dy[:-1] + dy[1:]))
+    HxQ = 0.75 * H0[..., 1:-1] + 0.25 * H1[..., 1:-1]
+    dEzQ = (EzQ[..., 1:] - EzQ[..., :-1]) / (0.5 * (dy[:-1] + dy[1:]))
     iom_mu = lax.complex(jnp.zeros_like(om), om * MU0)
     Ey_in = EyH - (dEzQ + iom_mu * HxQ) * (0.5 * dz1)
-    Ey0 = jnp.concatenate([Ey_in[:, :1], Ey_in, Ey_in[:, -1:]], axis=1)
+    Ey0 = jnp.concatenate([Ey_in[..., :1], Ey_in, Ey_in[..., -1:]], axis=-1)
 
-    Ey_r = rx.w0 * Ey0[:, rx.idx] + rx.w1 * Ey0[:, rx.idx + 1]
-    Hx_r = rx.w0 * H0[:, rx.idx] + rx.w1 * H0[:, rx.idx + 1]
+    Ey_r = rx.w0 * Ey0[..., rx.idx] + rx.w1 * Ey0[..., rx.idx + 1]
+    Hx_r = rx.w0 * H0[..., rx.idx] + rx.w1 * H0[..., rx.idx + 1]
     return Ey_r, Hx_r
 
 
@@ -336,17 +332,17 @@ def rx_hz_te(omegas, mesh: M.TensorMesh2D, fields, rx: RxInterp):
     centres (dataFuncSens.jl:44-46, Hzr at :96 — `linRxMap2' * (Bz0 ./ mu)`,
     not the quarter-point HzQ)."""
     dy = mesh.y_len.astype(jnp.real(fields).dtype)
-    om = omegas.astype(dy.dtype)[:, None]
-    E0 = fields[:, rx.zid, :]
+    om = _om_col(omegas, fields, dy.dtype)
+    E0 = fields[..., rx.zid, :]
     iom = lax.complex(jnp.zeros_like(om), om)
-    Hz0 = (E0[:, 1:] - E0[:, :-1]) / dy / iom / MU0        # (nfreq, ny) centres
-    return rx.c0 * Hz0[:, rx.cidx] + rx.c1 * Hz0[:, rx.cidx + 1]
+    Hz0 = (E0[..., 1:] - E0[..., :-1]) / dy / iom / MU0    # (nfreq, ..., ny) centres
+    return rx.c0 * Hz0[..., rx.cidx] + rx.c1 * Hz0[..., rx.cidx + 1]
 
 
 def impedance_to_rho_phase(omegas, Z):
     """Apparent resistivity & phase (deg) from impedance (compMTRespTE,
     mt2DTE.jl:253-255)."""
-    om = omegas.astype(jnp.real(Z).dtype)[:, None]
+    om = omegas.astype(jnp.real(Z).dtype).reshape((-1,) + (1,) * (Z.ndim - 1))
     rho = jnp.abs(Z) ** 2 / (om * MU0)
     phs = jnp.arctan2(jnp.imag(Z), jnp.real(Z)) * (180.0 / jnp.pi)
     return rho, phs
@@ -384,10 +380,11 @@ class ForwardOperator:
         return solve_dirichlet(st, omegas, bc, self.cfg)
 
     def merged_stencil(self, sigma2d: jax.Array) -> M.Stencil:
-        """TE and TM stencils stacked on a leading mode axis (2, ...)."""
+        """TE and TM stencils stacked on a mode axis just before the grid
+        axes: (..., 2, grid) — batch (chain) axes of sigma2d lead."""
         st_te = M.te_stencil(self.mesh, sigma2d)
         st_tm = M.tm_stencil(self.mesh, sigma2d)
-        return M.Stencil(*(jnp.stack([a, b]) for a, b in zip(st_te, st_tm)))
+        return M.Stencil(*(jnp.stack([a, b], axis=-3) for a, b in zip(st_te, st_tm)))
 
     def factor_at(self, sigma2d: jax.Array, freqs=None) -> S.Factorization:
         """Factorise the merged (freq x mode) interior systems at this model
@@ -400,7 +397,7 @@ class ForwardOperator:
         omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
         st = self.merged_stencil(sigma2d)
         rdt = self.cfg.real_dtype
-        om = omegas.astype(rdt).reshape((-1, 1, 1, 1))
+        om = omegas.astype(rdt).reshape((-1,) + (1,) * st.m.ndim)
         sys = S.interior_system(_cast_stencil(st, rdt), om,
                                 dtype=self.cfg.solve_dtype)
         return S.factorize(sys, dtype=self.cfg.solve_dtype,
@@ -420,9 +417,9 @@ class ForwardOperator:
         omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
         st = self.merged_stencil(sigma2d)
         bc = boundary_grids_both(self.mesh, sigma2d, omegas,
-                                 self.cfg.solve_dtype)     # (nfreq, 2, ...)
+                                 self.cfg.solve_dtype)     # (nfreq, ..., 2, grid)
         fields = solve_dirichlet(st, omegas, bc, self.cfg, fac=fac)
-        return fields[:, 0], fields[:, 1]
+        return fields[..., 0, :, :], fields[..., 1, :, :]
 
     def mode_rx_fields(self, sigma2d, mode: str, freqs=None):
         """(E, H, fields) at receivers for one mode."""
@@ -441,7 +438,10 @@ class ForwardOperator:
         return E / H
 
     def response_cube(self, sigma2d: jax.Array, freqs=None, fac=None) -> jax.Array:
-        """(nfreq, nrx, ncomp) response cube in data_comp order."""
+        """(..., nfreq, nrx, ncomp) response cube in data_comp order, where
+        ``...`` are the leading batch (chain) axes of ``sigma2d``.  Chains are
+        batched NATIVELY through the one merged factor+solve — no vmap — so a
+        C-chain gradient is a single (C x nfreq x 2)-system batched solve."""
         freqs = self.data.freqs if freqs is None else freqs
         omegas = 2.0 * jnp.pi * jnp.asarray(freqs, sigma2d.dtype)
         Z, T = {}, None
@@ -477,14 +477,16 @@ class ForwardOperator:
                 comps.append(impedance_to_rho_phase(omegas, Z[pol])[1])
             else:
                 raise ValueError(name)
-        return jnp.stack(comps, axis=-1)
+        cube = jnp.stack(comps, axis=-1)          # (nfreq, ..., nrx, ncomp)
+        return jnp.moveaxis(cube, 0, -3)          # (..., nfreq, nrx, ncomp)
 
     def predict(self, sigma2d: jax.Array, fac=None) -> jax.Array:
         """Predicted data at the observed (freq, rx, comp) triples — the
-        masked predData vector of MT2DFwdSolver.jl:209-210."""
+        masked predData vector of MT2DFwdSolver.jl:209-210.  Batch (chain)
+        axes of ``sigma2d`` lead the returned (..., ndata)."""
         cube = self.response_cube(sigma2d, fac=fac)
-        flat = cube.reshape(-1)
-        return flat[jnp.asarray(self.data.flat_index)]
+        flat = cube.reshape(cube.shape[:-3] + (-1,))
+        return jnp.take(flat, jnp.asarray(self.data.flat_index), axis=-1)
 
 
 def make_forward(mesh: M.TensorMesh2D, data: MTData, cfg: SolveConfig | None = None) -> ForwardOperator:

@@ -47,11 +47,13 @@ class InverseProblem:
     # -- parameterisation ----------------------------------------------------
     def sigma2d(self, m: jax.Array) -> jax.Array:
         """active log-sigma -> full conductivity image
-        (sigma = activeCell*exp(m) + bg, HMCSampler.jl:289-294)."""
+        (sigma = activeCell*exp(m) + bg, HMCSampler.jl:289-294).  ``m`` is
+        (..., n_param); leading batch (chain) axes flow through to a
+        (..., nz, ny) image."""
         msh = self.mesh
         sig = T.scatter_active(T.model_transform(m), self.active_idx, msh.n_cell)
         sig = sig + jnp.asarray(self.bg_flat, m.dtype)
-        return sig.reshape(msh.nz, msh.ny)
+        return sig.reshape(m.shape[:-1] + (msh.nz, msh.ny))
 
     # -- data terms ----------------------------------------------------------
     def predict(self, m: jax.Array, fac=None) -> jax.Array:
@@ -64,16 +66,18 @@ class InverseProblem:
 
     def data_misfit(self, m: jax.Array, fac=None):
         """0.5 * || W (F(m) - d) ||^2 and the predicted data
-        (getDataMisfit, HMCUtility.jl:200-207)."""
+        (getDataMisfit, HMCUtility.jl:200-207).  Per-chain values when ``m``
+        carries leading batch axes."""
         pred = self.predict(m, fac=fac)
         res = jnp.asarray(self.weights) * (pred - jnp.asarray(self.obs))
         # complex residuals count re and im separately (0.5 * re(r^H r))
-        return 0.5 * jnp.sum(jnp.abs(res) ** 2), pred
+        return 0.5 * jnp.sum(jnp.abs(res) ** 2, axis=-1), pred
 
     # -- prior ---------------------------------------------------------------
     def _inject(self, v: jax.Array) -> jax.Array:
         msh = self.mesh
-        return T.scatter_active(v, self.active_idx, msh.n_cell).reshape(msh.nz, msh.ny)
+        full = T.scatter_active(v, self.active_idx, msh.n_cell)
+        return full.reshape(v.shape[:-1] + (msh.nz, msh.ny))
 
     def model_norm(self, m: jax.Array, m_ref: jax.Array) -> jax.Array:
         """0.5 * (m-mref)' Wm (m-mref) with Wm = (Gc A)'(Gc A)
@@ -124,9 +128,10 @@ class InverseProblem:
         """
         cube = self.fwd.response_cube(self.sigma2d(m), freqs, fac=fac)
         res = w_cube * (cube - obs_cube)
-        misfit = 0.5 * jnp.sum(jnp.abs(res) ** 2)
+        misfit = 0.5 * jnp.sum(jnp.abs(res) ** 2, axis=(-3, -2, -1))
         mnorm = prior_scale * reg * self.model_norm(m, m_ref)
-        return misfit + mnorm, (misfit, mnorm, cube.reshape(-1))
+        return misfit + mnorm, (misfit, mnorm,
+                                cube.reshape(cube.shape[:-3] + (-1,)))
 
     # -- potential -----------------------------------------------------------
     def potential(self, m: jax.Array, m_ref: jax.Array, reg: float, fac=None):

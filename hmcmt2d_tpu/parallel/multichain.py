@@ -127,17 +127,18 @@ class ShardedSampler:
         problem, reg = self.problem, self.reg
         prior_scale = 1.0 / self.n_freq_dev
 
-        def vg(m, m_ref_, fac=None):
-            def single(mm, mr, ff=None):
-                return problem.potential_cube(mm, mr, reg, freqs_l, obs_l, w_l,
-                                              prior_scale=prior_scale, fac=ff)
+        def total(m, m_ref_, fac=None):
+            # chains batched NATIVELY (no vmap — see driver.make_potential_vg):
+            # per-chain grads = grad of the chain-summed local potential
+            U, aux = problem.potential_cube(m, m_ref_, reg, freqs_l, obs_l,
+                                            w_l, prior_scale=prior_scale,
+                                            fac=fac)
+            return jnp.sum(U), (U, aux)
 
-            if fac is None:
-                (U, (mis, mn, pred)), g = jax.vmap(
-                    jax.value_and_grad(single, has_aux=True))(m, m_ref_)
-            else:
-                (U, (mis, mn, pred)), g = jax.vmap(
-                    jax.value_and_grad(single, has_aux=True))(m, m_ref_, fac)
+        vg_total = jax.value_and_grad(total, has_aux=True)
+
+        def vg(m, m_ref_, fac=None):
+            (_, (U, (mis, mn, pred))), g = vg_total(m, m_ref_, fac)
             U, mis, mn, g = lax.psum((U, mis, mn, g), "freq")
             return (U, (mis, mn, pred)), g
 
@@ -147,7 +148,7 @@ class ShardedSampler:
         """Batched local-frequency-shard factorisation (amortised path)."""
         if not self.amortize:
             return None
-        return jax.vmap(lambda m: self.problem.factor_state_cube(m, freqs_l))
+        return lambda m: self.problem.factor_state_cube(m, freqs_l)
 
     def _chain_key(self, key):
         # distinct RNG per chains-shard, identical across the freq axis so

@@ -42,34 +42,40 @@ class InversionRun:
 
 
 def make_potential_vg(problem: InverseProblem, reg: float):
-    """Batched (chains-leading) potential value-and-grad.
+    """Batched (chains-leading) potential value-and-grad — NATIVE batching.
+
+    Chains are an ordinary batch axis of the forward model (one merged
+    (chains x freq x mode) factor+solve), and per-chain gradients come from a
+    single ``value_and_grad`` of the chain-summed potential: chains are
+    independent, so d(sum_c U_c)/dM stacks the per-chain gradients exactly.
+    No ``jax.vmap`` anywhere on the gradient path — deliberately: the
+    tunneled v5e runtime was observed to miscompile ``vmap(value_and_grad)``
+    for >= 2 chains (primal off by ~1e5x; see artifacts/dprism3d), and the
+    native batch is also the better TPU program (a C-fold larger solver
+    batch fills the MXU instead of C replayed programs).
 
     The returned callable accepts an optional batched ``fac`` third argument
     (per-chain stale factorisations from :func:`make_factor_fn`) for the
     trajectory-amortised path; gradients are w.r.t. the model only.
     """
 
-    def single(m, m_ref):
-        return problem.potential(m, m_ref, reg)
+    def total(m, m_ref, fac=None):
+        U, aux = problem.potential(m, m_ref, reg, fac=fac)
+        return jnp.sum(U), (U, aux)
 
-    vg_single = jax.value_and_grad(single, has_aux=True)
-
-    def single_fac(m, m_ref, fac):
-        return problem.potential(m, m_ref, reg, fac=fac)
-
-    vg_fac_single = jax.value_and_grad(single_fac, has_aux=True)
+    vg_total = jax.value_and_grad(total, has_aux=True)
 
     def vg(m, m_ref, fac=None):
-        if fac is None:
-            return jax.vmap(vg_single)(m, m_ref)
-        return jax.vmap(vg_fac_single)(m, m_ref, fac)
+        (_, (U, aux)), g = vg_total(m, m_ref, fac)
+        return (U, aux), g
 
     return vg
 
 
 def make_factor_fn(problem: InverseProblem):
-    """Batched model -> merged-mode Factorization (trajectory amortisation)."""
-    return jax.vmap(problem.factor_state)
+    """Batched model -> merged-mode Factorization (trajectory amortisation).
+    ``factor_state`` batches natively over leading chain axes."""
+    return problem.factor_state
 
 
 def make_mass(problem: InverseProblem, cfg: HMCConfig) -> H.MassMatrix:

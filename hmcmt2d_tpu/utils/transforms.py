@@ -54,7 +54,8 @@ def active_cells(sigma_flat: np.ndarray, sigma_fixed, fix_index=None):
 
 
 def scatter_active(values, active_idx, n_cell: int):
-    """Inject active-cell values into a flat cell vector (zeros elsewhere):
-    the product ``activeCell * v`` of the reference."""
-    out = jnp.zeros((n_cell,), values.dtype)
-    return out.at[jnp.asarray(active_idx)].set(values)
+    """Inject active-cell values (..., n_active) into a flat cell vector
+    (..., n_cell), zeros elsewhere: the product ``activeCell * v`` of the
+    reference; leading batch (chain) axes pass through."""
+    out = jnp.zeros(values.shape[:-1] + (n_cell,), values.dtype)
+    return out.at[..., jnp.asarray(active_idx)].set(values)

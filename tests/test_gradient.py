@@ -192,3 +192,41 @@ def test_amortized_hmc_matches_fresh_sampler():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_amort.stats),
                                np.asarray(res_fresh.stats), rtol=1e-5)
+
+
+def test_native_chain_batching_matches_per_chain():
+    """The driver's chains-batched potential value-and-grad (native batching
+    through one merged (chains x freq x mode) solve, per-chain gradients via
+    the chain-summed potential — NO vmap) must equal independent per-chain
+    evaluations exactly.  This is the contract that replaces
+    vmap(value_and_grad), which the tunneled v5e runtime miscompiles for
+    >= 2 chains (see BASELINE.md round-2 notes)."""
+    from hmcmt2d_tpu.sampler.driver import make_factor_fn, make_potential_vg
+
+    prob, m0 = tiny_problem()
+    C, P = 3, len(m0)
+    key = jax.random.PRNGKey(0)
+    M = jnp.asarray(m0)[None] + 0.1 * jax.random.normal(key, (C, P))
+    Mref = jnp.broadcast_to(jnp.asarray(m0), (C, P))
+    reg = 10.0
+
+    vg = make_potential_vg(prob, reg)
+    (U, (mis, mn, pred)), g = vg(M, Mref)
+    assert U.shape == (C,) and mis.shape == (C,) and mn.shape == (C,)
+    assert pred.shape[0] == C and g.shape == (C, P)
+
+    for c in range(C):
+        (Uc, (mc, nc, pc)), gc = jax.value_and_grad(
+            lambda m: prob.potential(m, Mref[c], reg), has_aux=True)(M[c])
+        np.testing.assert_allclose(float(Uc), float(U[c]), rtol=1e-12)
+        np.testing.assert_allclose(float(mc), float(mis[c]), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(pc), np.asarray(pred[c]), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(g[c]),
+                                   rtol=1e-9, atol=1e-12)
+
+    # trajectory-amortised path: batched stale factors solve to refinement tol
+    fac = make_factor_fn(prob)(M)
+    (U2, _), g2 = vg(M, Mref, fac)
+    np.testing.assert_allclose(np.asarray(U2), np.asarray(U), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g), rtol=1e-5,
+                               atol=1e-9 * float(jnp.abs(g).max()))
