@@ -40,13 +40,16 @@ def _realistic(problem_factory):
     """Flagship problem with observations generated from its own start model
     plus 3% noise, so the sampler has a sane posterior (the raw factory uses
     placeholder obs, which makes acceptance statistics meaningless)."""
+    import jax
     import jax.numpy as jnp
 
     from hmcmt2d_tpu.utils.host import to_host
 
     problem, m0 = problem_factory()
-    sig = problem.sigma2d(jnp.asarray(m0, jnp.float32))
-    obs = to_host(problem.fwd.predict(sig))
+    # one jitted program end-to-end: eager complex ops crash this tunneled
+    # runtime (UNIMPLEMENTED) — un-jitted predict() was the BENCH_r02 crash
+    predict = jax.jit(lambda m: problem.fwd.predict(problem.sigma2d(m)))
+    obs = to_host(predict(jnp.asarray(m0, jnp.float32)))
     rng = np.random.default_rng(0)
     noise = (rng.standard_normal(len(obs)) + 1j * rng.standard_normal(len(obs)))
     obs = obs * (1 + 0.03 * noise / np.sqrt(2))
@@ -156,43 +159,127 @@ def measure_cpu_baseline(problem, n_freq=11, leapfrog_avg=8.0):
     return 1.0 / per_sample
 
 
-def main():
+def measure_cpu_baseline_native(problem, n_freq=11, leapfrog_avg=8.0,
+                                threads=None):
+    """Honest THREADED CPU baseline: the native band LDL^T engine
+    (native/band_solver.cc — this repo's MUMPS-equivalent) run across the
+    (freq x mode) sweep with a thread pool (ctypes releases the GIL during
+    factor/solve), mirroring the reference's 48-MKL-thread MUMPS pipeline
+    (runHMCscript.jl:17-18).  Frequency-independent matrix parts are
+    assembled once, as the reference does (MT2DFwdSolver.jl:124-135)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from hmcmt2d_tpu import native as N
+    from hmcmt2d_tpu.utils import cpu_reference as R
+
+    if not N.available():
+        return None
+
+    mesh = problem.mesh
+    dy = np.asarray(mesh.y_len, float)
+    dz = np.asarray(mesh.z_len, float)
+    sigma = np.zeros(mesh.n_cell)
+    sigma[problem.active_idx] = 0.01
+    sigma += problem.bg_flat
+    ny, nz = len(dy), len(dz)
+    nyi = ny - 1
+    ii, _ = R.boundary_index(ny, nz)
+    freqs = np.asarray(problem.fwd.data.freqs)[:n_freq]
+    rng = np.random.default_rng(0)
+    b = rng.standard_normal(len(ii)) + 1j * rng.standard_normal(len(ii))
+
+    # freq-independent parts once per mode (the reference's CoeffMat)
+    parts = {mode: R.assemble_mode_matrices(dy, dz, sigma, mode)
+             for mode in ("TE", "TM")}
+
+    def one_system(args):
+        mode, f = args
+        dGrad, Mnode = parts[mode]
+        A = (dGrad + 1j * (2 * np.pi * f) * Mnode).tocsr()[np.ix_(ii, ii)]
+        n = A.shape[0]
+        band = np.zeros((n, nyi + 1), np.complex128)
+        band[:, 0] = A.diagonal(0)
+        band[: n - 1, 1] = A.diagonal(-1)
+        band[: n - nyi, nyi] = A.diagonal(-nyi)
+        with N.BandFactorization(band) as fac:
+            fac.solve(b)   # forward
+            fac.solve(b)   # adjoint (factor reuse)
+
+    tasks = [(mode, f) for mode in ("TE", "TM") for f in freqs]
+    threads = threads or min(len(tasks), os.cpu_count() or 1)
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        list(pool.map(one_system, tasks))  # warm (thread spin-up, page-in)
+        t0 = time.time()
+        list(pool.map(one_system, tasks))
+        t_sweep = time.time() - t0
+
+    per_sample = (leapfrog_avg + 1.0) * t_sweep
+    return 1.0 / per_sample
+
+
+def main(smoke: bool = False):
     import jax
+
+    if smoke:
+        # force CPU regardless of the environment's startup hook (which can
+        # pre-select the TPU platform and ignore JAX_PLATFORMS)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
 
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", False)
+    else:
+        # persistent compile cache: these programs take minutes to compile;
+        # cached reruns load in <1s (CPU excluded — AOT cache entries there
+        # reload with mismatched machine features in this environment)
+        from hmcmt2d_tpu.utils.host import enable_compilation_cache
+        enable_compilation_cache()
 
     import importlib.util
+    import os
 
-    spec = importlib.util.spec_from_file_location("graft", "__graft_entry__.py")
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "graft", os.path.join(here, "__graft_entry__.py"))
     g = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(g)
 
-    factory = g._flagship_problem
-    on_tpu = jax.default_backend() != "cpu"
+    # --smoke: the full measurement pipeline on the tiny problem (CI guard so
+    # an eager-op regression can never ship a crashed BENCH again)
+    factory = (lambda: g._flagship_problem(tiny=True)) if smoke \
+        else g._flagship_problem
+    on_tpu = jax.default_backend() != "cpu" and not smoke
 
     # primary: the known-stable configuration FIRST (a later device fault
-    # must not cost the headline numbers)
-    # C=1 is both the valid-sampling configuration on this runtime (its
-    # vmap-grad miscompile needs >=2 chains) and, measured, the highest
-    # samples/s/chip (per-gradient cost scales with the chain batch)
-    base_chains = 1
+    # must not cost the headline numbers).
+    # C=8 native-batched chains: round-3 on-device validation showed the
+    # no-vmap chain batch is the ACCURATE path on this runtime (batched
+    # gradients within 4-6% of CPU float64 truth — complex64-consistent —
+    # while C=1 programs compile a less accurate gradient, 10-40% off), and
+    # multi-chain is also the reference's headline parallel workflow
+    # (parallelHMC.jl).  8x40 samples also gives a usable ESS estimate.
+    base_chains = 8 if on_tpu else 1
     # NOTE: single uninterrupted device programs beyond ~3 minutes trip the
     # tunneled runtime's watchdog ("kernel fault").
     stats = measure_ess(factory, base_chains,
-                        n_samples=40 if on_tpu else 8)
+                        n_samples=40 if on_tpu else (4 if smoke else 8))
     sweep = {str(base_chains): stats["samples_per_sec"]}
 
     # CPU-side baseline before any risky device work (pure scipy, but the
     # problem build itself issues eager device ops — a wedged device after a
     # failed sweep attempt must not be able to kill the report)
     problem, _ = factory()
-    cpu_sps = measure_cpu_baseline(problem)
+    nf = problem.fwd.data.n_freq if smoke else 11
+    cpu_sps = measure_cpu_baseline(problem, n_freq=nf)
+    cpu_native_sps = measure_cpu_baseline_native(problem, n_freq=nf)
 
-    # best-effort larger counts LAST (the tunneled runtime faults on some
+    # best-effort other counts LAST (the tunneled runtime faults on some
     # larger-batch programs; treat failures as "not measurable")
     if on_tpu:
-        for c in (8, 12):
+        for c in (12, 16):
             try:
                 _, res, dt = _measure(factory, c, 10)
                 sweep[str(c)] = round(c * 10 / dt, 4)
@@ -201,13 +288,21 @@ def main():
                 break
 
     best = max([v for v in sweep.values() if v] + [stats["samples_per_sec"]])
+    base = cpu_native_sps or cpu_sps
     out = {
         "metric": "hmc_samples_per_sec_per_chip",
         "value": best,
-        "unit": ("samples/s (dprism-scale: 96x56 mesh, 11 freqs, TE+TM "
+        "unit": ("samples/s (smoke: tiny problem, CPU)" if smoke else
+                 "samples/s (dprism-scale: 96x56 mesh, 11 freqs, TE+TM "
                  "merged solve, trajectory-amortised factorisation)"),
-        "vs_baseline": round(best / cpu_sps, 2),
-        "baseline_note": "single-threaded scipy splu (ref uses 48 MKL threads)",
+        "vs_baseline": round(best / base, 2),
+        "baseline_note": ("threaded native band-LDLT CPU pipeline (this "
+                          "repo's MUMPS-equivalent engine; ref runs MUMPS "
+                          "with 48 MKL threads)" if cpu_native_sps else
+                          "single-threaded scipy splu"),
+        "cpu_samples_per_sec_scipy_1t": round(cpu_sps, 4),
+        "cpu_samples_per_sec_native_mt": (round(cpu_native_sps, 4)
+                                          if cpu_native_sps else None),
         "chains_sweep": sweep,
     }
     out.update(stats)
@@ -216,4 +311,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(smoke="--smoke" in sys.argv[1:]))

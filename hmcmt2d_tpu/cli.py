@@ -26,6 +26,12 @@ def _setup_jax(args):
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+    if jax.default_backend() != "cpu" and not getattr(args, "no_cache", False):
+        # persistent compile cache (minutes -> sub-second on rerun); CPU
+        # excluded: AOT entries there reload with mismatched machine features
+        from .utils.host import enable_compilation_cache
+
+        enable_compilation_cache()
     return jax
 
 
@@ -153,6 +159,8 @@ def main(argv=None):
     ap.add_argument("--precision", choices=["auto", "f32", "f64"], default="auto")
     ap.add_argument("--refine", type=int, default=1,
                     help="iterative-refinement steps for f32 solves")
+    ap.add_argument("--no-cache", action="store_true",
+                    help="disable the persistent compilation cache")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     runp = sub.add_parser("run", help="run the HMC inversion")

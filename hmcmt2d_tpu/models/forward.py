@@ -36,6 +36,7 @@ from ..constants import MU0
 from .. import mesh as M
 from ..ops import mt1d
 from ..ops import solver as S
+from ..utils.host import real_dtype as _host_real_dtype
 from .data import MTData
 
 
@@ -71,7 +72,7 @@ class SolveConfig:
 
     @property
     def real_dtype(self):
-        return jnp.real(jnp.zeros((), self.solve_dtype)).dtype
+        return _host_real_dtype(self.solve_dtype)
 
 
 def default_config() -> SolveConfig:
@@ -405,7 +406,8 @@ class ForwardOperator:
                            inv_method=self.cfg.inv_method)
 
     def both_mode_solutions(self, sigma2d: jax.Array, freqs=None, fac=None):
-        """(fields_te, fields_tm), each (nfreq, nz+1, ny+1), from ONE batched
+        """(fields_te, fields_tm), each (nfreq, ..., nz+1, ny+1) with ``...``
+        the leading chain axes of ``sigma2d``, from ONE batched
         factor+solve over the stacked (freq x mode) systems — the merged-mode
         fast path: half the sequential solve depth of two per-mode calls and
         a single 1-D boundary propagation (the reference loops frequencies

@@ -85,9 +85,10 @@ class InverseProblem:
         return 0.5 * M.cell_gradient_sqnorm(self._inject(m - m_ref))
 
     def wm_matvec(self, v: jax.Array) -> jax.Array:
-        """Wm @ v in active space (used by the non-diagonal mass matrix)."""
+        """Wm @ v in active space (used by the non-diagonal mass matrix).
+        Batched over leading axes of ``v`` like the sibling methods."""
         full = M.cell_gradient_normal(self._inject(v))
-        return full.reshape(-1)[jnp.asarray(self.active_idx)]
+        return full.reshape(v.shape[:-1] + (-1,))[..., jnp.asarray(self.active_idx)]
 
     def wm_dense(self) -> np.ndarray:
         """Dense Wm (n_param x n_param) for the non-diagonal mass matrix

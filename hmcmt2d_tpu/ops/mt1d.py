@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import EPS0, MU0
+from ..utils.host import real_dtype
 
 # Real-exponent clamp for exp(): keeps the forward value finite so the
 # overflow *mask* (not an Inf/NaN) reproduces the reference's zeroing
@@ -122,7 +123,7 @@ def analytic_field(omega, sigma, dz, with_h: bool = False, dtype=None):
     if dtype is not None:
         # run the whole propagation in the requested complex dtype (TPU has
         # no complex128, so the production path casts to complex64 here)
-        rdt = jnp.real(jnp.zeros((), dtype)).dtype
+        rdt = real_dtype(dtype)
         omega = jnp.asarray(omega, rdt)
         sigma = jnp.asarray(sigma, rdt)
         dz = jnp.asarray(dz, rdt)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .. import mesh as M
+from ..utils.host import real_dtype
 from .blockinv import inv_nopivot
 
 
@@ -62,7 +63,7 @@ def interior_system(st: M.Stencil, omega, dtype=None) -> InteriorSystem:
     if dtype is None:
         rdt = d_real.dtype
     else:
-        rdt = jnp.real(jnp.zeros((), dtype)).dtype
+        rdt = real_dtype(dtype)
     # build the complex diagonal from real/imag parts directly so no
     # complex128 intermediate is ever created on TPU
     d_real, d_imag = jnp.broadcast_arrays(d_real.astype(rdt), d_imag.astype(rdt))
@@ -539,7 +540,7 @@ def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr",
               inv_method: str = "lu") -> Factorization:
     ssys, s = equilibrate(sys)
     if dtype is not None:
-        rdt = jnp.real(jnp.zeros((), dtype)).dtype
+        rdt = real_dtype(dtype)
         ssys = InteriorSystem(ssys.diag.astype(dtype), ssys.offy.astype(rdt),
                               ssys.offz.astype(rdt))
     inv_fn = inv_nopivot if inv_method == "gj" else jnp.linalg.inv

@@ -15,6 +15,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache (jit programs here compile in
+    minutes; the cache turns reruns of the driver/bench into sub-second
+    loads).  Safe no-op if the backend rejects it.  Call BEFORE the first
+    jit execution."""
+    import os
+
+    if path is None:
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        path = os.path.join(repo, ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def real_dtype(dtype) -> np.dtype:
+    """Real counterpart of a (possibly complex) dtype, computed HOST-SIDE.
+
+    Never issues a device op — ``jnp.real(jnp.zeros((), dtype))`` executes an
+    eager complex op, which this tunneled TPU runtime cannot run outside jit
+    (``UNIMPLEMENTED``); that pattern crashed the round-2 benchmark.  Use this
+    everywhere a real dtype is derived from a solve dtype.
+    """
+    return np.zeros(0, np.dtype(dtype)).real.dtype
+
+
 @jax.jit
 def _split(x):
     return jnp.real(x), jnp.imag(x)
