@@ -60,7 +60,12 @@ def _realistic(problem_factory):
     return problem, m0
 
 
-def _build(problem_factory, n_chains, amortize=True):
+def _build(problem_factory, n_chains, amortize=True, seg=8):
+    """Segmented runner: each device program advances ``seg`` samples and
+    returns the carried ChainState — single uninterrupted device programs
+    beyond ~3 minutes trip this tunneled runtime's watchdog (the BENCH_r03
+    first-attempt crash mode), so the measurement chains short programs
+    exactly like the production driver's checkpoint segments."""
     import jax
     import jax.numpy as jnp
 
@@ -76,18 +81,43 @@ def _build(problem_factory, n_chains, amortize=True):
     mass = H.identity_mass(len(m0), jnp.float32)
     m_start = jnp.broadcast_to(jnp.asarray(m0, jnp.float32),
                                (n_chains, len(m0)))
-    run = jax.jit(lambda s, k: H.run_hmc(vg, opts, mass, m_start, m_start,
-                                         s, k, factor_fn=factor_fn),
-                  static_argnums=0)
+
+    first = jax.jit(lambda k, off, n=seg: H.run_hmc(
+        vg, opts, mass, m_start, m_start, n, k, key_offset=off,
+        factor_fn=factor_fn))
+    cont = jax.jit(lambda st, k, off, n=seg: H.run_hmc(
+        vg, opts, mass, st.m, m_start, n, k, init_state=st, key_offset=off,
+        factor_fn=factor_fn))
+
+    def run(n_samples, key):
+        state, parts, done = None, [], 0
+        while done < n_samples:
+            res = (first(key, 0) if state is None
+                   else cont(state, key, done))
+            jax.block_until_ready(res.models)
+            state, done = res.final, done + seg
+            parts.append(res)
+        cat = lambda xs: jnp.concatenate(xs, axis=0)
+        r0 = parts[0]
+        return H.HMCResult(
+            models=cat([p.models for p in parts])[:n_samples],
+            stats=cat([p.stats for p in parts])[:n_samples],
+            accepts=cat([p.accepts for p in parts])[:n_samples],
+            pred=r0.pred, final=state, start_stats=r0.start_stats,
+            start_pred=r0.start_pred,
+            lf_steps=cat([p.lf_steps for p in parts])[:n_samples])
+
     return problem, run
 
 
-def _measure(problem_factory, n_chains, n_samples):
+def _measure(problem_factory, n_chains, n_samples, seg=8):
     import jax
     import jax.numpy as jnp
 
-    problem, run = _build(problem_factory, n_chains)
-    jax.block_until_ready(run(2, jax.random.PRNGKey(0)).models)
+    seg = min(seg, n_samples)
+    problem, run = _build(problem_factory, n_chains, seg=seg)
+    n_warm = seg if n_samples <= seg else 2 * seg   # warm first+cont programs
+    jax.block_until_ready(run(n_warm, jax.random.PRNGKey(0)).models)
     t0 = time.time()
     res = run(n_samples, jax.random.PRNGKey(1))
     jax.block_until_ready(res.models)

@@ -1,0 +1,150 @@
+"""On-device validation of native chain batching (the miscompile detector).
+
+Round 2 found this tunneled TPU runtime miscompiles ``vmap(value_and_grad)``
+for >= 2 chains (artifacts/dprism3d/summary.json).  The production sampler
+therefore batches chains NATIVELY (one merged (C x freq x mode) solve, one
+``value_and_grad`` of the chain-summed potential, sampler/driver.py:44-72).
+Before any multi-chain TPU posterior run is trusted, this script proves on
+the actual device that for C in {1, 2, 4, 8} the batched per-chain potentials
+and gradients agree with an independent CPU float64 (complex128 solve)
+evaluation of the same models — the truth anchor the invalid round-2 run
+lacked.
+
+Usage:  python scripts/validate_chains.py [--out artifacts/.../validation.json]
+
+The script spawns itself under JAX_PLATFORMS=cpu + x64 to produce the truth
+values, then runs the device comparison.  Exit code 0 iff every batched
+potential is within 1% and every gradient within 10% relative L2 of the f64
+truth (complex64 solves with refinement land at ~1e-3/~5e-2 respectively).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+STARTUP = "/root/reference/HMCMT/examples/dprism3d/startupfile"
+CHAINS = (1, 2, 4, 8)
+
+
+def _setup(seed=1):
+    import jax
+
+    from hmcmt2d_tpu.io.startup import read_startup
+    from hmcmt2d_tpu.models.posterior import build_inverse_problem
+    from hmcmt2d_tpu.sampler import hmc as H
+
+    cfg, mesh, sigma2d, data, obs, err = read_startup(STARTUP)
+    problem, m0 = build_inverse_problem(
+        mesh, data, obs, err, np.asarray(sigma2d).ravel(),
+        sigma_fixed=cfg.sig_fix)
+    key_start, _ = jax.random.split(jax.random.PRNGKey(seed))
+    m_start = np.asarray(
+        H.random_homogeneous_start(key_start, m0, max(CHAINS)), np.float64)
+    return cfg, problem, m_start
+
+
+def cpu_truth(out_npz):
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    cfg, problem, m_start = _setup()
+    from hmcmt2d_tpu.sampler.driver import make_potential_vg
+
+    vg = jax.jit(make_potential_vg(problem, cfg.reg_param))
+    U_list, g_list = [], []
+    for c in range(m_start.shape[0]):
+        m = np.asarray(m_start[c: c + 1])
+        (U, _aux), g = vg(m, m)
+        U_list.append(np.asarray(U)[0])
+        g_list.append(np.asarray(g)[0])
+    np.savez(out_npz, U=np.asarray(U_list), g=np.asarray(g_list),
+             m_start=m_start)
+    print(f"[validate] CPU f64 truth written: U={np.asarray(U_list)}")
+
+
+def device_check(truth_npz, out_json):
+    import jax
+    import jax.numpy as jnp
+
+    from hmcmt2d_tpu.sampler.driver import make_potential_vg
+    from hmcmt2d_tpu.utils.host import enable_compilation_cache
+
+    if jax.default_backend() != "cpu":
+        enable_compilation_cache()
+    truth = np.load(truth_npz)
+    Ut, gt, m_start = truth["U"], truth["g"], truth["m_start"]
+    cfg, problem, _ = _setup()
+    vg = jax.jit(make_potential_vg(problem, cfg.reg_param))
+
+    report = {"platform": jax.default_backend(),
+              "device": str(jax.devices()[0]),
+              "workload": STARTUP, "chains": {}}
+    ok = True
+    for C in CHAINS:
+        m = jnp.asarray(m_start[:C], jnp.float32)
+        (U, _aux), g = vg(m, m)
+        U = np.asarray(U, np.float64)
+        g = np.asarray(g, np.float64)
+        relU = np.abs(U - Ut[:C]) / np.abs(Ut[:C])
+        relg = (np.linalg.norm(g - gt[:C], axis=-1)
+                / np.linalg.norm(gt[:C], axis=-1))
+        cos = np.sum(g * gt[:C], axis=-1) / (
+            np.linalg.norm(g, axis=-1) * np.linalg.norm(gt[:C], axis=-1))
+        entry = {
+            "U_dev": [round(float(x), 3) for x in U],
+            "U_f64": [round(float(x), 3) for x in Ut[:C]],
+            "relerr_U_max": float(relU.max()),
+            "relerr_grad_l2_max": float(relg.max()),
+            "grad_cosine_min": float(cos.min()),
+            "pass": bool(relU.max() < 1e-2 and relg.max() < 0.10),
+        }
+        ok &= entry["pass"]
+        report["chains"][str(C)] = entry
+        print(f"[validate] C={C}: relU_max={relU.max():.2e} "
+              f"relg_max={relg.max():.3f} cos_min={cos.min():.5f} "
+              f"pass={entry['pass']}")
+
+    # cross-check: batched C=8 per-chain values equal independent C=1 slices
+    # (the round-2 failure mode was C>=2 batches disagreeing with C=1)
+    m1 = jnp.asarray(m_start[:1], jnp.float32)
+    (U1, _), g1 = vg(m1, m1)
+    U8 = np.asarray(report["chains"]["8"]["U_dev"]) if "8" in report["chains"] else None
+    report["c1_vs_batched_chain0_relerr_U"] = float(
+        abs(float(np.asarray(U1)[0]) - U8[0]) / abs(U8[0])) if U8 is not None else None
+    report["status"] = "PASS" if ok else "FAIL"
+    os.makedirs(os.path.dirname(out_json), exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"[validate] {report['status']} -> {out_json}")
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "artifacts", "dprism3d_mc", "validation.json"))
+    ap.add_argument("--cpu-truth", default="")
+    ap.add_argument("--truth-npz", default="/tmp/validate_chains_truth.npz")
+    args = ap.parse_args()
+
+    if args.cpu_truth:
+        return cpu_truth(args.cpu_truth)
+
+    if not os.path.exists(args.truth_npz):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("JAX_PLATFORM_NAME", None)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        "--cpu-truth", args.truth_npz], check=True, env=env)
+    return device_check(args.truth_npz, args.out)
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
