@@ -544,7 +544,13 @@ def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr",
         ssys = InteriorSystem(ssys.diag.astype(dtype), ssys.offy.astype(rdt),
                               ssys.offz.astype(rdt))
     inv_fn = inv_nopivot if inv_method == "gj" else jnp.linalg.inv
-    if method == "bcr":
+    if method == "fused":
+        # single-Pallas-kernel Schur chain + plane-layout factors (the TPU
+        # fast path: one dispatch per factorisation instead of nzi batched
+        # LU custom calls; see ops/pallas_factor.py)
+        from .pallas_factor import fused_schur_factor_planes
+        fac = fused_schur_factor_planes(ssys.diag, ssys.offy, ssys.offz)
+    elif method == "bcr":
         fac = bcr_factor(ssys, inv_fn=inv_fn)
     elif method == "thomas_blocked":
         fac = bt_factor_blocked(ssys, inv_fn=inv_fn)
@@ -554,6 +560,10 @@ def factorize(sys: InteriorSystem, dtype=None, method: str = "bcr",
 
 
 def factor_solve(f: Factorization, b: jax.Array) -> jax.Array:
+    from .pallas_factor import PlanesFactor, fused_bt_solve
+
+    if isinstance(f.fac, PlanesFactor):
+        return f.s * fused_bt_solve(f.fac, f.s * b)
     if isinstance(f.fac, BCRFactor):
         return f.s * bcr_solve(f.fac, f.s * b)
     if isinstance(f.fac, BTFactorBlocked):

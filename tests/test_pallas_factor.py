@@ -1,0 +1,130 @@
+"""Fused Pallas Schur-chain factorisation vs the XLA block-Thomas oracle.
+
+Runs the kernel in Pallas interpreter mode on CPU with a reduced padded
+block size (the unrolled Gauss-Jordan makes full Q=128 interpretation slow);
+the TPU-compiled path is exercised by bench/driver runs on hardware.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hmcmt2d_tpu.ops import solver as S
+from hmcmt2d_tpu.ops import pallas_factor as PF
+
+
+@pytest.fixture
+def small_q(monkeypatch):
+    monkeypatch.setattr(PF, "Q", 32)
+    monkeypatch.setattr(PF, "PANEL", 8)
+
+
+def _random_system(B, nzi, q, seed=0):
+    rng = np.random.default_rng(seed)
+    d = (4.0 + 0.1 * rng.standard_normal((B, nzi, q))
+         + 1j * 0.5 * rng.standard_normal((B, nzi, q))).astype(np.complex64)
+    oy = (1.0 + 0.1 * rng.standard_normal((B, nzi, q - 1))).astype(np.float32)
+    oz = (1.0 + 0.1 * rng.standard_normal((B, nzi - 1, q))).astype(np.float32)
+    return S.InteriorSystem(jnp.asarray(d), jnp.asarray(oy), jnp.asarray(oz))
+
+
+def _relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    return np.abs(a - b).max() / np.abs(b).max()
+
+
+def test_fused_matches_bt_factor(small_q):
+    sys_ = _random_system(3, 5, 20)
+    ref = S.bt_factor(sys_)
+    G = PF.fused_schur_factor(sys_.diag, sys_.offy, sys_.offz,
+                              block_b=4, interpret=True)
+    assert G.shape == ref.G.shape
+    assert _relerr(G, ref.G) < 2e-5
+
+
+def test_fused_batch_padding(small_q):
+    # B=3 not divisible by block_b=2: identity-padded batch must not leak
+    sys_ = _random_system(3, 4, 17, seed=1)
+    ref = S.bt_factor(sys_)
+    G = PF.fused_schur_factor(sys_.diag, sys_.offy, sys_.offz,
+                              block_b=2, interpret=True)
+    assert _relerr(G, ref.G) < 2e-5
+
+
+def test_fused_q_equals_Q(small_q):
+    # no q padding at all (q == Q exactly)
+    sys_ = _random_system(2, 3, 32, seed=2)
+    ref = S.bt_factor(sys_)
+    G = PF.fused_schur_factor(sys_.diag, sys_.offy, sys_.offz,
+                              block_b=2, interpret=True)
+    assert _relerr(G, ref.G) < 2e-5
+
+
+def test_fused_leading_batch_axes(small_q):
+    # (C, F) leading batch axes collapse and restore
+    sys_ = _random_system(6, 4, 12, seed=3)
+    d = sys_.diag.reshape(2, 3, 4, 12)
+    oy = sys_.offy.reshape(2, 3, 4, 11)
+    oz = sys_.offz.reshape(2, 3, 3, 12)
+    ref = S.bt_factor(sys_)
+    G = PF.fused_schur_factor(d, oy, oz, block_b=4, interpret=True)
+    assert G.shape == (2, 3, 4, 12, 12)
+    assert _relerr(G.reshape(6, 4, 12, 12), ref.G) < 2e-5
+
+
+def test_q_too_large_raises(small_q):
+    sys_ = _random_system(1, 2, 40)
+    with pytest.raises(ValueError):
+        PF.fused_schur_factor(sys_.diag, sys_.offy, sys_.offz, interpret=True)
+
+
+@pytest.fixture
+def interp(monkeypatch):
+    monkeypatch.setattr(PF, "Q", 32)
+    monkeypatch.setattr(PF, "PANEL", 8)
+    monkeypatch.setattr(PF, "INTERPRET", True)
+
+
+def test_fused_solve_matches_bt_solve(interp):
+    sys_ = _random_system(3, 5, 20)
+    b = jnp.asarray(
+        (np.random.default_rng(9).standard_normal((3, 5, 20, 2)) @ [1, 1j])
+        .astype(np.complex64))
+    ref = S.factor_solve(S.factorize(sys_, method="thomas"), b)
+    fused = S.factor_solve(S.factorize(sys_, method="fused"), b)
+    assert fused.shape == ref.shape
+    assert fused.dtype == ref.dtype
+    assert _relerr(fused, ref) < 5e-5
+
+
+def test_fused_solve_batch_axes_and_padding(interp):
+    # leading (C, F) axes + batch not divisible by block_b
+    sys_ = _random_system(6, 4, 12, seed=5)
+    d = sys_.diag.reshape(2, 3, 4, 12)
+    oy = sys_.offy.reshape(2, 3, 4, 11)
+    oz = sys_.offz.reshape(2, 3, 3, 12)
+    rng = np.random.default_rng(6)
+    b = jnp.asarray((rng.standard_normal((2, 3, 4, 12, 2)) @ [1, 1j])
+                    .astype(np.complex64))
+    ref = S.factor_solve(S.factorize(sys_, method="thomas"),
+                         b.reshape(6, 4, 12)).reshape(2, 3, 4, 12)
+    fused = S.factor_solve(
+        S.Factorization(
+            PF.fused_schur_factor_planes(
+                *S.equilibrate(S.InteriorSystem(d, oy, oz))[0], block_b=4),
+            S.equilibrate(S.InteriorSystem(d, oy, oz))[1]),
+        b)
+    assert _relerr(fused, ref) < 5e-5
+
+
+def test_fused_refined_solve_reaches_exact(interp):
+    # the production composition: stale-free refined solve through the fused
+    # factor must reproduce the true solution of the unscaled operator
+    sys_ = _random_system(2, 4, 16, seed=7)
+    rng = np.random.default_rng(8)
+    x_true = jnp.asarray((rng.standard_normal((2, 4, 16, 2)) @ [1, 1j])
+                         .astype(np.complex64))
+    b = S.apply_interior(sys_, x_true)
+    fac = S.factorize(sys_, method="fused")
+    x = S.refined_solve(sys_, fac, b, iters=2)
+    assert _relerr(x, x_true) < 1e-4
