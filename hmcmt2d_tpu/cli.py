@@ -36,16 +36,24 @@ def _setup_jax(args):
 
 
 def _solve_cfg(args):
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
     from .models.forward import SolveConfig, default_config
 
     if args.precision == "auto":
-        return default_config()
-    if args.precision == "f64":
-        return SolveConfig(jnp.complex128, 0)
-    return SolveConfig(jnp.complex64, args.refine)
+        cfg = default_config()
+    elif args.precision == "f64":
+        cfg = SolveConfig(jnp.complex128, 0)
+    else:
+        cfg = SolveConfig(jnp.complex64, args.refine)
+    if getattr(args, "solver", "auto") != "auto":
+        cfg = dataclasses.replace(cfg, solver_method=args.solver)
+    if getattr(args, "inv", "auto") != "auto":
+        cfg = dataclasses.replace(cfg, inv_method=args.inv)
+    return cfg
 
 
 def cmd_run(args):
@@ -161,6 +169,11 @@ def main(argv=None):
                     help="iterative-refinement steps for f32 solves")
     ap.add_argument("--no-cache", action="store_true",
                     help="disable the persistent compilation cache")
+    ap.add_argument("--solver", default="auto",
+                    choices=["auto", "thomas", "thomas_blocked", "bcr", "fused"],
+                    help="factorisation engine (fused = Pallas kernels)")
+    ap.add_argument("--inv", default="auto", choices=["auto", "lu", "gj"],
+                    help="batched-inverse engine inside the factorisation")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     runp = sub.add_parser("run", help="run the HMC inversion")

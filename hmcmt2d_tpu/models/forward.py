@@ -225,7 +225,14 @@ def solve_dirichlet(st: M.Stencil, omegas: jax.Array, bc: jax.Array,
     rhs = -M.interior(M.apply_A(st_c, om, bc))
 
     if fac is None:
-        fac = S.factorize(sys, dtype=cfg.solve_dtype, method=cfg.solver_method,
+        # factorise the gradient-stopped system: the factorisation only ever
+        # acts as a (re)usable preconditioner/solver inside
+        # custom_linear_solve — implicit differentiation never needs its
+        # derivative — and ops without input tangents skip JVP tracing
+        # entirely (the Pallas fused kernels have no JVP rule)
+        sys_ng = jax.tree_util.tree_map(lax.stop_gradient, sys)
+        fac = S.factorize(sys_ng, dtype=cfg.solve_dtype,
+                          method=cfg.solver_method,
                           inv_method=cfg.inv_method)
         iters = cfg.refine_iters
     else:

@@ -104,22 +104,48 @@ class WarmupInfo(NamedTuple):
     alpha_mean: jax.Array  # running mean acceptance probability
 
 
-def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
-           m_ref: jax.Array, n_warmup: int, key, w: WarmupOptions | None = None,
-           pool_axis: str | None = None, sample_dtype=jnp.float32,
-           init_state: ChainState | None = None,
-           factor_fn: Callable | None = None):
-    """Adaptive warmup phase.
+class WarmupCarry(NamedTuple):
+    """Full adapter state carried across warmup segments — segmenting the
+    warmup into multiple short device programs (this runtime's watchdog
+    kills single programs beyond ~3 minutes) is bit-exact with running the
+    whole warmup as one scan: the per-iteration keys are a pure function of
+    the global iteration index and the window schedule is precomputed."""
 
-    Returns ``(result, state, mass, info)``: per-iteration records (an
-    :class:`HMCResult`, so warmup draws appear in the output files like the
-    reference's burn-in), the final chain state, the adapted
-    :class:`MassMatrix` and a :class:`WarmupInfo` with the adapted step size.
-    """
-    w = w or WarmupOptions()
-    C, P = m0.shape
-    state = init_state if init_state is not None else sample_chain_init(
-        potential_vg, m0, m_ref)
+    state: ChainState
+    da: _DualAvg
+    inv_m: jax.Array
+    acc: tuple
+    alpha_acc: tuple
+
+
+def warmup_carry_init(potential_vg, opts: HMCOptions, m0, m_ref) -> WarmupCarry:
+    P = m0.shape[-1]
+    state = sample_chain_init(potential_vg, m0, m_ref)
+    da0 = _da_init(jnp.asarray(opts.dt, m0.dtype))
+    inv_m0 = jnp.ones((P,), m0.dtype)
+    acc0 = (jnp.zeros((), m0.dtype), jnp.zeros((P,), m0.dtype),
+            jnp.zeros((P,), m0.dtype))
+    alpha_acc0 = (jnp.zeros(()), jnp.zeros(()))
+    return WarmupCarry(state, da0, inv_m0, acc0, alpha_acc0)
+
+
+def warmup_keys(key, it_offset: int, n: int):
+    """Keys for warmup iterations [it_offset, it_offset + n) — a pure
+    function of the global iteration index (segmentation-invariant)."""
+    base = jax.random.fold_in(key, 2)
+    return jax.vmap(lambda i: jax.random.fold_in(base, i))(
+        jnp.arange(n) + it_offset)
+
+
+def warmup_scan(potential_vg: Callable, opts: HMCOptions, m_ref,
+                carry: WarmupCarry, keys, ends, w: WarmupOptions,
+                pool_axis: str | None = None, sample_dtype=jnp.float32,
+                factor_fn: Callable | None = None):
+    """One warmup segment: scan over ``len(keys)`` adaptation iterations.
+
+    Returns the advanced :class:`WarmupCarry` and the per-iteration output
+    stack (models, stats, accepts, pred, lf_steps)."""
+    C = m_ref.shape[0]
     step = make_sample_step(potential_vg, opts, factor_fn=factor_fn)
 
     def pool_mean(x):
@@ -128,18 +154,7 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
             x = lax.pmean(x, pool_axis)
         return x
 
-    ends = jnp.asarray(window_schedule(n_warmup, w)) if w.adapt_mass else \
-        jnp.zeros(n_warmup, bool)
-    keys = jax.random.split(jax.random.fold_in(key, 2), n_warmup)
-
-    da0 = _da_init(jnp.asarray(opts.dt, m0.dtype))
-    inv_m0 = jnp.ones((P,), m0.dtype)
-    # Welford-style window accumulators (sum / sumsq over iterations x chains)
-    acc0 = (jnp.zeros((), m0.dtype), jnp.zeros((P,), m0.dtype),
-            jnp.zeros((P,), m0.dtype))
-    alpha_acc0 = (jnp.zeros(()), jnp.zeros(()))
-
-    n_chains = m0.shape[0]
+    n_chains = C
 
     def body(carry, inputs):
         state, da, inv_m, acc, alpha_acc = carry
@@ -181,27 +196,62 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
                new.pred.astype(jnp.complex64 if jnp.iscomplexobj(new.pred)
                                else jnp.float32),
                jnp.broadcast_to(L.astype(jnp.int32), (n_chains,)))
-        return (new, da, inv_m, (n, s1, s2), alpha_acc), out
+        return WarmupCarry(new, da, inv_m, (n, s1, s2), alpha_acc), out
 
-    state0 = state
-    (state, da, inv_m, _, (an, asum)), (models, stats, accepts, pred, lf) = lax.scan(
-        body, (state, da0, inv_m0, acc0, alpha_acc0), (keys, ends))
+    return lax.scan(body, carry, (keys, ends))
 
-    dt = jnp.exp(da.log_eps_avg)
+
+def warmup_finalize(carry: WarmupCarry) -> tuple[MassMatrix, WarmupInfo]:
+    """Adapted mass matrix and step-size/acceptance info from a carry."""
+    da, inv_m = carry.da, carry.inv_m
+    an, asum = carry.alpha_acc
     mass = MassMatrix(sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
-    info = WarmupInfo(dt=dt, inv_m=inv_m, alpha_mean=asum / jnp.maximum(an, 1.0))
+    info = WarmupInfo(dt=jnp.exp(da.log_eps_avg), inv_m=inv_m,
+                      alpha_mean=asum / jnp.maximum(an, 1.0))
+    return mass, info
 
-    # start row = the PRE-warmup state, with KE drawn under the INITIAL
-    # (identity) mass — the reference's "Starting status" is the status at
-    # iteration 0 (HMCSampler.jl:113-115,810-827); round 2 wrongly reported
-    # the post-warmup misfit here (VERDICT r2, weak #2)
+
+def start_row(state0: ChainState, key, shape, dtype=jnp.float32):
+    """The reference's "Starting status" row: the PRE-warmup state with KE
+    drawn under the initial identity mass (HMCSampler.jl:113-115,810-827);
+    round 2 wrongly reported the post-warmup misfit here (VERDICT r2 #2)."""
+    inv_m0 = jnp.ones(shape[-1:], dtype)
     mass0 = MassMatrix(sqrt_m=lax.rsqrt(inv_m0), inv_m=inv_m0, diagonal=True)
-    ke = mass0.kinetic(mass0.draw(jax.random.fold_in(key, 3), m0.shape))
+    ke = mass0.kinetic(mass0.draw(jax.random.fold_in(key, 3), shape))
     start_stats = jnp.stack([state0.misfit, state0.mnorm, ke,
                              state0.misfit + state0.mnorm + ke], axis=-1)
     start_pred = state0.pred.astype(
         jnp.complex64 if jnp.iscomplexobj(state0.pred) else jnp.float32)
+    return start_stats, start_pred
+
+
+def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
+           m_ref: jax.Array, n_warmup: int, key, w: WarmupOptions | None = None,
+           pool_axis: str | None = None, sample_dtype=jnp.float32,
+           init_state: ChainState | None = None,
+           factor_fn: Callable | None = None):
+    """Adaptive warmup phase (single scan; see ``warmup_scan`` for the
+    segmented building blocks the driver uses on watchdog-limited runtimes).
+
+    Returns ``(result, state, mass, info)``: per-iteration records (an
+    :class:`HMCResult`, so warmup draws appear in the output files like the
+    reference's burn-in), the final chain state, the adapted
+    :class:`MassMatrix` and a :class:`WarmupInfo` with the adapted step size.
+    """
+    w = w or WarmupOptions()
+    carry0 = warmup_carry_init(potential_vg, opts, m0, m_ref)
+    if init_state is not None:
+        carry0 = carry0._replace(state=init_state)
+    state0 = carry0.state
+    ends = jnp.asarray(window_schedule(n_warmup, w)) if w.adapt_mass else \
+        jnp.zeros(n_warmup, bool)
+    keys = warmup_keys(key, 0, n_warmup)
+    carry, (models, stats, accepts, pred, lf) = warmup_scan(
+        potential_vg, opts, m_ref, carry0, keys, ends, w,
+        pool_axis=pool_axis, sample_dtype=sample_dtype, factor_fn=factor_fn)
+    mass, info = warmup_finalize(carry)
+    start_stats, start_pred = start_row(state0, key, m0.shape, m0.dtype)
     result = HMCResult(models=models, stats=stats, accepts=accepts, pred=pred,
-                       final=state, start_stats=start_stats,
+                       final=carry.state, start_stats=start_stats,
                        start_pred=start_pred, lf_steps=lf)
-    return result, state, mass, info
+    return result, carry.state, mass, info

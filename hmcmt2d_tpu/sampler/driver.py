@@ -203,24 +203,61 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             if sharded is not None:
                 wres, state, mass, info = sharded.warmup(
                     opts, m_start, m_ref, n_warm, key_warm, wopts)
+                jax.block_until_ready(wres.models)
+                start_stats = wres.start_stats
+                start_pred = to_host(wres.start_pred)
+                acc_models.append(np.asarray(wres.models))
+                acc_stats.append(np.asarray(wres.stats))
+                acc_accepts.append(np.asarray(wres.accepts))
+                acc_pred.append(to_host(wres.pred))
+                acc_lf.append(np.asarray(wres.lf_steps))
             else:
-                wrun = jax.jit(lambda m0, mref, k: A.warmup(
-                    vg, opts, m0, mref, n_warm, k, wopts,
-                    factor_fn=factor_fn))
-                wres, state, mass, info = wrun(m_start, m_ref, key_warm)
-            jax.block_until_ready(wres.models)
+                # segmented warmup: short device programs (the tunneled
+                # runtime's watchdog faults single programs beyond ~3 min —
+                # an unsegmented 100-iteration multi-chain warmup trips it),
+                # bit-exact with the single-scan A.warmup
+                seg_w = checkpoint_every or progress_every or n_warm
+                ends_full = np.asarray(
+                    A.window_schedule(n_warm, wopts)) if wopts.adapt_mass \
+                    else np.zeros(n_warm, bool)
+                carry = jax.jit(lambda m0, mref: A.warmup_carry_init(
+                    vg, opts, m0, mref))(m_start, m_ref)
+                state0 = carry.state
+                wseg = {}
+                done_w = 0
+                for n_sw in _segment_plan(n_warm, seg_w):
+                    t_seg = time.time()
+                    if n_sw not in wseg:
+                        wseg[n_sw] = jax.jit(
+                            lambda c, mref, k, off, e, n=n_sw: A.warmup_scan(
+                                vg, opts, mref, c, A.warmup_keys(k, off, n),
+                                e, wopts, factor_fn=factor_fn))
+                    carry, (wm, ws, wa, wp, wl) = wseg[n_sw](
+                        carry, m_ref, key_warm, done_w,
+                        jnp.asarray(ends_full[done_w: done_w + n_sw]))
+                    jax.block_until_ready(wm)
+                    done_w += n_sw
+                    acc_models.append(np.asarray(wm))
+                    acc_stats.append(np.asarray(ws))
+                    acc_accepts.append(np.asarray(wa))
+                    acc_pred.append(to_host(wp))
+                    acc_lf.append(np.asarray(wl))
+                    log(f"warmup {done_w}/{n_warm}: "
+                        f"misfit={float(np.asarray(ws)[-1, :, 0].mean()):.4g} "
+                        f"dt={float(jnp.exp(carry.da.log_eps)):.4g} "
+                        f"({n_sw * wm.shape[1] / (time.time() - t_seg):.2f} "
+                        f"samples/s)")
+                mass, info = jax.jit(A.warmup_finalize)(carry)
+                state = carry.state
+                ss, sp = jax.jit(lambda s0, shape=m_start.shape: A.start_row(
+                    s0, key_warm, shape))(state0)
+                start_stats = ss
+                start_pred = to_host(sp)
             opts = dataclasses.replace(opts, dt=float(info.dt))
-            start_stats = wres.start_stats
-            start_pred = to_host(wres.start_pred)
-            acc_models.append(np.asarray(wres.models))
-            acc_stats.append(np.asarray(wres.stats))
-            acc_accepts.append(np.asarray(wres.accepts))
-            acc_pred.append(to_host(wres.pred))
-            acc_lf.append(np.asarray(wres.lf_steps))
             log(f"warmup {n_warm} iters in {time.time() - t0:.1f}s: adapted "
                 f"dt={opts.dt:.4g}, accept~{float(info.alpha_mean):.2f}, "
                 f"misfit {float(np.asarray(start_stats)[:, 0].mean()):.4g} -> "
-                f"{float(np.asarray(wres.stats)[-1, :, 0].mean()):.4g}")
+                f"{float(np.asarray(acc_stats[-1])[-1, :, 0].mean()):.4g}")
         else:
             n_warm = 0
             key_main = key_run

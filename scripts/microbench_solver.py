@@ -56,14 +56,28 @@ def build_system(chains, q=95, nzi=55, dtype=None, seed=0):
 
 
 def timeit(fn, *args, reps=5):
+    """fn must be jit-compiled; completion is forced by reducing every output
+    leaf to ONE real scalar inside an extra jitted wrapper and fetching it to
+    host — ``block_until_ready`` alone under-reports on this tunneled
+    runtime (observed: a 700 MB-output factorisation 'completing' in 56 us)."""
     import jax
+    import jax.numpy as jnp
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def scalarize(*a):
+        s = jnp.zeros((), jnp.float32)
+        for x in jax.tree_util.tree_leaves(fn(*a)):
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.complexfloating):
+                s += jnp.sum(jnp.abs(x)).astype(jnp.float32)
+            elif hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+                s += jnp.sum(x).astype(jnp.float32)
+        return s
+
+    timed = jax.jit(scalarize)
+    float(timed(*args))                    # compile + warm
     t0 = time.time()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    for _ in range(reps - 1):
+        timed(*args)
+    out = float(timed(*args))              # host fetch drains the queue
     return (time.time() - t0) / reps * 1e3, out
 
 

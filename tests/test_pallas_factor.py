@@ -128,3 +128,55 @@ def test_fused_refined_solve_reaches_exact(interp):
     fac = S.factorize(sys_, method="fused")
     x = S.refined_solve(sys_, fac, b, iters=2)
     assert _relerr(x, x_true) < 1e-4
+
+
+def test_value_and_grad_through_fused_config(interp):
+    # the production composition: potential value_and_grad with the fused
+    # factorisation inside custom_linear_solve (no JVP rule exists for the
+    # kernels — the factor must be built from a gradient-stopped system)
+    import jax
+
+    from hmcmt2d_tpu.mesh import make_mesh
+    from hmcmt2d_tpu.models.data import MTData
+    from hmcmt2d_tpu.models.forward import SolveConfig, make_forward
+
+    dy = np.full(8, 500.0)
+    air = np.array([500.0, 2000.0])[::-1]
+    dz = np.concatenate([air, np.full(6, 300.0), [1000.0, 3000.0]])
+    mesh = make_mesh(dy, dz, air_layer=air, origin=[dy.sum() / 2, air.sum()])
+    sigma = np.full((mesh.nz, mesh.ny), 0.01)
+    sigma[:2] = 1e-8
+    rx = np.stack([np.linspace(-1200, 1200, 3), np.zeros(3)], axis=1)
+    f, r, d = np.meshgrid(np.arange(2), np.arange(3), np.arange(2),
+                          indexing="ij")
+    data = MTData(rx_loc=rx, freqs=np.array([10.0, 1.0]),
+                  data_type="Impedance", data_comp=("ZXY", "ZYX"),
+                  freq_id=f.ravel(), rx_id=r.ravel(), dt_id=d.ravel())
+
+    # production-style weighted misfit at a perturbed model: a well-scaled
+    # gradient (the raw sum |Z|^2 gradient is float32-noise-dominated for
+    # EVERY engine — catastrophic cancellation through the air rows)
+    fwd_ref = make_forward(mesh, data, SolveConfig(jnp.complex64, 1, "thomas"))
+    fwd_fused = make_forward(mesh, data, SolveConfig(jnp.complex64, 1, "fused"))
+    s0 = jnp.asarray(sigma, jnp.float32)
+    obs = jax.jit(fwd_ref.predict)(s0)
+    w = 1.0 / (0.03 * jnp.abs(obs))
+    s = jnp.asarray(sigma * np.where(sigma > 1e-7, 1.3, 1.0), jnp.float32)
+
+    def loss(fwd, x):
+        r = w * (fwd.predict(x) - obs)
+        return 0.5 * jnp.sum(jnp.abs(r) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(lambda x: loss(fwd_ref, x))(s)
+    v_fus, g_fus = jax.value_and_grad(lambda x: loss(fwd_fused, x))(s)
+    assert np.isfinite(float(v_fus))
+    assert abs(float(v_fus) - float(v_ref)) / abs(float(v_ref)) < 1e-3
+    # compare on EARTH cells only: air cells are frozen out of the inversion
+    # in production (active_cells), and their raw gradients are float32-
+    # noise-dominated through the 1/sigma ~ 1e8 TM coefficients (both
+    # engines disagree with f64 there equally)
+    ge = np.asarray(g_ref, np.float64)[2:].ravel()
+    gf = np.asarray(g_fus, np.float64)[2:].ravel()
+    cos = (ge @ gf) / (np.linalg.norm(ge) * np.linalg.norm(gf))
+    assert np.linalg.norm(gf - ge) / np.linalg.norm(ge) < 5e-2
+    assert cos > 0.999
