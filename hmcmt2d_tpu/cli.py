@@ -108,6 +108,7 @@ def cmd_run(args):
                         solve_cfg=solve_cfg, device_mesh=dev_mesh,
                         checkpoint_path=args.checkpoint or None,
                         checkpoint_every=args.checkpoint_every,
+                        checkpoint_stride=args.checkpoint_stride,
                         resume=args.resume, verbose=not args.quiet,
                         progress_every=args.progress_every)
     if profiler:
@@ -189,7 +190,9 @@ def main(argv=None):
     runp.add_argument("--checkpoint", default="",
                       help="checkpoint file path (enables periodic dumps)")
     runp.add_argument("--checkpoint-every", type=int, default=0,
-                      help="samples per checkpoint segment")
+                      help="samples per device-program segment")
+    runp.add_argument("--checkpoint-stride", type=int, default=1,
+                      help="write the checkpoint every this many segments")
     runp.add_argument("--resume", action="store_true",
                       help="resume from --checkpoint (bit-exact)")
     runp.add_argument("--quiet", action="store_true",

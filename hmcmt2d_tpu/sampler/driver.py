@@ -112,6 +112,7 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                   n_samples: int | None = None,
                   checkpoint_path: str | None = None,
                   checkpoint_every: int = 0,
+                  checkpoint_stride: int = 1,
                   resume: bool = False,
                   device_mesh=None,
                   verbose: bool = False,
@@ -270,7 +271,7 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
     every = checkpoint_every if checkpoint_every else progress_every
     segs = _segment_plan(n_main - n_done, every)
     runs = {}
-    for n_seg in segs:
+    for i_seg, n_seg in enumerate(segs):
         t_seg = time.time()
         if sharded is not None:
             res = sharded.run(opts, mass,
@@ -302,7 +303,13 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             f"accept={float(np.asarray(res.accepts).mean()):.2f} "
             f"dt={opts.dt:.4g} "
             f"({n_seg * res.models.shape[1] / (time.time() - t_seg):.2f} samples/s)")
-        if checkpoint_path:
+        # checkpoint every `checkpoint_stride` segments (and on the last):
+        # segments are sized for the device-program watchdog (~1 min), but
+        # rewriting the full sample history that often would dominate late
+        # in a long run
+        if checkpoint_path and (
+                (i_seg + 1) % max(checkpoint_stride, 1) == 0
+                or i_seg == len(segs) - 1):
             C.save_checkpoint(
                 checkpoint_path, n_done=n_done, state=tree_to_host(state),
                 key=key_main,
