@@ -223,15 +223,24 @@ class ShardedSampler:
 
     # -- warmup ------------------------------------------------------------
     def warmup(self, opts: H.HMCOptions, m0, m_ref, n_warm: int, key,
-               wopts: A.WarmupOptions | None = None):
+               wopts: A.WarmupOptions | None = None, seg: int = 0):
         """Sharded equivalent of :func:`adapt.warmup`: dual-averaging step
         size + windowed diagonal mass, statistics pooled across the local
-        chain batch AND the chains mesh axis (``pool_axis='chains'``)."""
+        chain batch AND the chains mesh axis (``pool_axis='chains'``).
+
+        ``seg`` > 0 runs the warmup as a sequence of ``seg``-iteration
+        device programs carrying the full adapter state across segments —
+        bit-exact with the single-program path (same per-global-iteration
+        key schedule and precomputed window schedule), required on runtimes
+        whose watchdog kills long uninterrupted programs."""
         C = m0.shape[0]
         if C % self.n_chain_dev:
             raise ValueError(f"chains ({C}) must divide the chains mesh axis "
                              f"({self.n_chain_dev})")
         wopts = wopts or A.WarmupOptions()
+        if seg and seg < n_warm:
+            return self._warmup_segmented(opts, m0, m_ref, n_warm, key,
+                                          wopts, seg)
         cache_key = ("warmup", n_warm, opts, wopts)
         if cache_key not in self._jitted:
             out_specs = (_RESULT_SPEC, _STATE_SPEC, (P(), P()),
@@ -260,6 +269,87 @@ class ShardedSampler:
             m0, m_ref, self.freqs, self.obs_cube, self.w_cube, key)
         mass = H.MassMatrix(sqrt_m=sq, inv_m=im, diagonal=True)
         return self._mask(result), state, mass, info
+
+    def _carry_spec(self):
+        return A.WarmupCarry(
+            state=_STATE_SPEC,
+            da=A._DualAvg(P(), P(), P(), P(), P()),
+            inv_m=P(), acc=(P(), P(), P()), alpha_acc=(P(), P()))
+
+    def _warmup_segmented(self, opts, m0, m_ref, n_warm, key, wopts, seg):
+        import numpy as _np
+
+        carry_spec = self._carry_spec()
+        ends_full = _np.asarray(A.window_schedule(n_warm, wopts)) \
+            if wopts.adapt_mass else _np.zeros(n_warm, bool)
+
+        ck = ("winit", opts)
+        if ck not in self._jitted:
+            @partial(jax.shard_map, mesh=self.mesh,
+                     in_specs=(P("chains"), P("chains"), P("freq"), P("freq"),
+                               P("freq"), P()),
+                     out_specs=(carry_spec, P("chains"), P("chains", "freq")),
+                     check_vma=False)
+            def sharded_init(m0_l, mref_l, freqs_l, obs_l, w_l, key):
+                vg = self._potential_vg(freqs_l, obs_l, w_l)
+                c = A.warmup_carry_init(vg, opts, m0_l, mref_l)
+                ss, sp = A.start_row(c.state, self._chain_key(key), m0_l.shape)
+                nf_l = freqs_l.shape[0]
+                split = lambda p: p.reshape(p.shape[:-1] + (nf_l, -1))
+                c = c._replace(state=c.state._replace(pred=split(c.state.pred)))
+                return c, ss, split(sp)
+
+            self._jitted[ck] = jax.jit(sharded_init)
+
+        carry, start_stats, start_pred = self._jitted[ck](
+            m0, m_ref, self.freqs, self.obs_cube, self.w_cube, key)
+
+        parts = []
+        done = 0
+        while done < n_warm:
+            n_seg = min(seg, n_warm - done)
+            ck2 = ("wseg", n_seg, opts, wopts)
+            if ck2 not in self._jitted:
+                out_res = (P(None, "chains"), P(None, "chains"),
+                           P(None, "chains"), P(None, "chains", "freq"),
+                           P(None, "chains"))
+
+                @partial(jax.shard_map, mesh=self.mesh,
+                         in_specs=(carry_spec, P("chains"), P("freq"),
+                                   P("freq"), P("freq"), P(), P(), P(None)),
+                         out_specs=(carry_spec, out_res), check_vma=False)
+                def sharded_seg(c, mref_l, freqs_l, obs_l, w_l, key, off,
+                                ends_seg):
+                    n = ends_seg.shape[0]
+                    vg = self._potential_vg(freqs_l, obs_l, w_l)
+                    key_l = self._chain_key(key)
+                    nf_l = freqs_l.shape[0]
+                    c = c._replace(state=c.state._replace(
+                        pred=c.state.pred.reshape(c.state.pred.shape[:-2] + (-1,))))
+                    c, (wm, ws, wa, wp, wl) = A.warmup_scan(
+                        vg, opts, mref_l, c, A.warmup_keys(key_l, off, n),
+                        ends_seg, wopts, pool_axis="chains",
+                        factor_fn=self._factor_fn(freqs_l))
+                    split = lambda p: p.reshape(p.shape[:-1] + (nf_l, -1))
+                    c = c._replace(state=c.state._replace(
+                        pred=split(c.state.pred)))
+                    return c, (wm, ws, wa, split(wp), wl)
+
+                self._jitted[ck2] = jax.jit(sharded_seg)
+            carry, out = self._jitted[ck2](
+                carry, m_ref, self.freqs, self.obs_cube, self.w_cube, key,
+                jnp.asarray(done), jnp.asarray(ends_full[done: done + n_seg]))
+            parts.append(out)
+            done += n_seg
+
+        mass, info = jax.jit(A.warmup_finalize)(carry)
+        mass = H.MassMatrix(sqrt_m=mass.sqrt_m, inv_m=mass.inv_m, diagonal=True)
+        cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
+        result = H.HMCResult(
+            models=cat(0), stats=cat(1), accepts=cat(2), pred=cat(3),
+            final=carry.state, start_stats=start_stats,
+            start_pred=start_pred, lf_steps=cat(4))
+        return self._mask(result), carry.state, mass, info
 
 
 def run_sharded_hmc(problem: InverseProblem, opts: H.HMCOptions,

@@ -203,7 +203,8 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             key_warm, key_main = jax.random.split(key_run)
             if sharded is not None:
                 wres, state, mass, info = sharded.warmup(
-                    opts, m_start, m_ref, n_warm, key_warm, wopts)
+                    opts, m_start, m_ref, n_warm, key_warm, wopts,
+                    seg=checkpoint_every or progress_every or 0)
                 jax.block_until_ready(wres.models)
                 start_stats = wres.start_stats
                 start_pred = to_host(wres.start_pred)

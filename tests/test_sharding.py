@@ -162,3 +162,36 @@ def test_sharded_driver_warmup_segments_resume(tiny_problem_shardable, tmp_path)
     np.testing.assert_array_equal(got, np.asarray(full.models))
     got_pred = np.concatenate([np.asarray(seg1.pred), np.asarray(seg2.pred)])
     np.testing.assert_array_equal(got_pred, np.asarray(full.pred))
+
+
+def test_sharded_warmup_segmented_matches_single(tiny_problem_shardable):
+    """seg-mented sharded warmup must be bit-exact with the one-scan path
+    (same global key schedule + precomputed window schedule)."""
+    from hmcmt2d_tpu.parallel.multichain import ShardedSampler
+    from hmcmt2d_tpu.utils.host import to_host
+
+    problem, m0 = tiny_problem_shardable
+    mesh = make_device_mesh(2, 2)
+    C = 4
+    m_start = jnp.broadcast_to(jnp.asarray(m0), (C, len(m0)))
+    opts = H.HMCOptions(dt=0.01, steps_lo=2, steps_hi=3,
+                        log_sig_lo=float(np.log(1e-4)),
+                        log_sig_hi=float(np.log(10.0)), reg_param=1.0)
+    ss = ShardedSampler(problem, 1.0, mesh)
+    key = jax.random.PRNGKey(7)
+    n_warm = 6
+    r1, st1, mass1, info1 = ss.warmup(opts, m_start, m_start, n_warm, key)
+    ss2 = ShardedSampler(problem, 1.0, mesh)
+    r2, st2, mass2, info2 = ss2.warmup(opts, m_start, m_start, n_warm, key,
+                                       seg=2)
+    np.testing.assert_array_equal(np.asarray(r1.models), np.asarray(r2.models))
+    np.testing.assert_array_equal(np.asarray(r1.stats), np.asarray(r2.stats))
+    np.testing.assert_array_equal(np.asarray(r1.accepts), np.asarray(r2.accepts))
+    np.testing.assert_array_equal(np.asarray(r1.start_stats),
+                                  np.asarray(r2.start_stats))
+    np.testing.assert_array_equal(np.asarray(to_host(r1.start_pred)),
+                                  np.asarray(to_host(r2.start_pred)))
+    assert float(info1.dt) == float(info2.dt)
+    np.testing.assert_array_equal(np.asarray(mass1.inv_m),
+                                  np.asarray(mass2.inv_m))
+    np.testing.assert_array_equal(np.asarray(st1.m), np.asarray(st2.m))
