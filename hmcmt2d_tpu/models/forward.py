@@ -76,9 +76,17 @@ class SolveConfig:
 
 
 def default_config() -> SolveConfig:
-    if jax.config.jax_enable_x64 and jax.default_backend() == "cpu":
-        return SolveConfig(jnp.complex128, 0)
-    return SolveConfig(jnp.complex64, 1, "thomas")
+    if jax.default_backend() == "cpu":
+        if jax.config.jax_enable_x64:
+            return SolveConfig(jnp.complex128, 0)
+        # Pallas kernels have no CPU (non-interpret) lowering — keep the
+        # XLA engine on CPU
+        return SolveConfig(jnp.complex64, 1, "thomas")
+    # TPU production default: the fused Pallas engine — measured 4.6x faster
+    # per gradient eval than thomas+LU at production shape AND accurate on
+    # device (U rel 1e-4, grad cosine 0.9996 vs CPU f64; the XLA GJ/BCR
+    # alternatives are miscompiled/faulting on this runtime — BASELINE.md)
+    return SolveConfig(jnp.complex64, 1, "fused")
 
 
 class RxInterp(NamedTuple):
