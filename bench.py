@@ -320,14 +320,10 @@ def main(smoke: bool = False):
     stats = measure_ess(factory, base_chains,
                         n_samples=40 if on_tpu else (4 if smoke else 8))
     sweep = {str(base_chains): stats["samples_per_sec"]}
-    if on_tpu:
-        # secondary: the conservative XLA thomas+LU engine for comparison
-        try:
-            stats_lu = measure_ess(factory, base_chains, n_samples=16,
-                                   method="thomas")
-            stats["samples_per_sec_thomas_lu"] = stats_lu["samples_per_sec"]
-        except Exception:
-            stats["samples_per_sec_thomas_lu"] = None
+    # the thomas+LU comparison (2.17 samples/s captured this round) and the
+    # engine accuracy evidence live in BASELINE.md and
+    # artifacts/dprism3d_mc/validation*.json — not re-measured here to keep
+    # the bench wall-clock bounded on a cold compile cache
 
     # CPU-side baseline before any risky device work (pure scipy, but the
     # problem build itself issues eager device ops — a wedged device after a
@@ -340,7 +336,7 @@ def main(smoke: bool = False):
     # best-effort other counts LAST (the tunneled runtime faults on some
     # larger-batch programs; treat failures as "not measurable")
     if on_tpu:
-        for c in (12, 16):
+        for c in (12,):
             try:
                 _, res, dt = _measure(factory, c, 10)
                 sweep[str(c)] = round(c * 10 / dt, 4)

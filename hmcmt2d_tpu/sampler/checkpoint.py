@@ -63,6 +63,8 @@ def load_checkpoint(path: str) -> dict:
     """Load a checkpoint; returns a dict with ChainState/MassMatrix rebuilt."""
     import jax.numpy as jnp
 
+    from ..utils.host import from_host
+
     with np.load(path) as z:
         if int(z["version"]) != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version {z['version']}")
@@ -71,7 +73,9 @@ def load_checkpoint(path: str) -> dict:
             grad=jnp.asarray(z["state_grad"]),
             misfit=jnp.asarray(z["state_misfit"]),
             mnorm=jnp.asarray(z["state_mnorm"]),
-            pred=jnp.asarray(z["state_pred"]),
+            # complex leaf: eager complex device_put is UNIMPLEMENTED on the
+            # tunneled TPU runtime — route through two real transfers
+            pred=from_host(z["state_pred"]),
         )
         mass = H.MassMatrix(sqrt_m=jnp.asarray(z["mass_sqrt"]),
                             inv_m=jnp.asarray(z["mass_inv"]),

@@ -186,7 +186,7 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         m_ref = jnp.asarray(ck["m_ref"])
         m_start = m_ref
         start_stats = jnp.asarray(ck["start_stats"])
-        start_pred = jnp.asarray(ck["start_pred"])
+        start_pred = ck["start_pred"]          # host-side (complex) is fine
         wall_prev = ck["wall_time"]
         acc_models.append(ck["models"])
         acc_stats.append(ck["stats"])

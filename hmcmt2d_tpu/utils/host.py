@@ -62,3 +62,27 @@ def to_host(x) -> np.ndarray:
 def tree_to_host(tree):
     """``to_host`` over every leaf of a pytree."""
     return jax.tree_util.tree_map(to_host, tree)
+
+
+@jax.jit
+def _join(re, im):
+    from jax import lax
+
+    return lax.complex(re, im)
+
+
+def from_host(x):
+    """Device array from numpy; complex arrays go via two real transfers +
+    an in-jit ``lax.complex`` (the reverse of :func:`to_host` — eager
+    complex host->device ``device_put`` is UNIMPLEMENTED on this runtime)."""
+    x = np.asarray(x)
+    if np.iscomplexobj(x):
+        rdt = real_dtype(x.dtype)
+        return _join(jnp.asarray(x.real.astype(rdt)),
+                     jnp.asarray(x.imag.astype(rdt)))
+    return jnp.asarray(x)
+
+
+def tree_from_host(tree):
+    """``from_host`` over every leaf of a pytree."""
+    return jax.tree_util.tree_map(from_host, tree)
