@@ -91,11 +91,11 @@ def _build(problem_factory, n_chains, amortize=None, seg=8, method=None):
         amortize = problem.fwd.cfg.solver_method != "fused"
     vg = make_potential_vg(problem, 1.0)
     factor_fn = make_factor_fn(problem) if amortize else None
-    # dt: the production warmup adapts the reference's 0.03 to ~0.07 on this
-    # workload scale (runs/dprism3d_mc, accept ~0.8); the bench samples with
-    # the adapted kernel so ess_per_sec reflects the production sampler, not
-    # the reference's unstable fixed step
-    opts = H.HMCOptions(dt=0.06, steps_lo=6, steps_hi=10,
+    # dt 0.03 (the reference's file value): with the bench's identity mass
+    # this sits at ~0.4 acceptance near the synthetic posterior mode — the
+    # production adapted-mass kernel runs ~0.07/0.8 (runs/dprism3d_mc), so
+    # treat ess_per_sec here as a conservative floor
+    opts = H.HMCOptions(dt=0.03, steps_lo=6, steps_hi=10,
                         log_sig_lo=float(np.log(1e-4)),
                         log_sig_hi=float(np.log(1.0)), reg_param=1.0)
     mass = H.identity_mass(len(m0), jnp.float32)
