@@ -82,11 +82,16 @@ def default_config() -> SolveConfig:
         # Pallas kernels have no CPU (non-interpret) lowering — keep the
         # XLA engine on CPU
         return SolveConfig(jnp.complex64, 1, "thomas")
-    # TPU production default: the fused Pallas engine — measured 4.6x faster
-    # per gradient eval than thomas+LU at production shape AND accurate on
-    # device (U rel 1e-4, grad cosine 0.9996 vs CPU f64; the XLA GJ/BCR
-    # alternatives are miscompiled/faulting on this runtime — BASELINE.md)
-    return SolveConfig(jnp.complex64, 1, "fused")
+    # TPU production default: the fused Pallas engine — measured ~4.5x
+    # faster per gradient eval than thomas+LU at production shape AND
+    # accurate on device (the XLA GJ/BCR alternatives are miscompiled/
+    # faulting on this runtime — BASELINE.md).  refine_iters=3, not 1: the
+    # extra refinement costs ~nothing (sweep solves are cheap in-program)
+    # and tightens the potential/gradient consistency from 1e-4/2.7% to
+    # 1.2e-5/0.48% — at refine 1 the leapfrog energy error rejects every
+    # proposal near a posterior mode (measured accept 0.0 -> 0.27 at the
+    # bench posterior, and warmup dual averaging collapses at high misfit)
+    return SolveConfig(jnp.complex64, 3, "fused")
 
 
 class RxInterp(NamedTuple):
