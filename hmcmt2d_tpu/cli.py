@@ -53,7 +53,39 @@ def _solve_cfg(args):
         cfg = dataclasses.replace(cfg, solver_method=args.solver)
     if getattr(args, "inv", "auto") != "auto":
         cfg = dataclasses.replace(cfg, inv_method=args.inv)
+    if cfg.solver_method == "fused":
+        # the fused Pallas kernels run float32 planes unconditionally
+        # (pallas_factor.py downcasts), so an explicit f64 request cannot be
+        # honoured there, and refine_iters=0 would return raw float32
+        # factor solves (and implicit-diff gradients) with no refinement
+        # against the true-precision operator
+        if cfg.solve_dtype == jnp.complex128:
+            raise SystemExit("--solver fused is float32-only (Pallas planes); "
+                             "drop --precision f64 or pick --solver thomas")
+        if cfg.refine_iters < 1:
+            cfg = dataclasses.replace(cfg, refine_iters=1)
     return cfg
+
+
+def _warmup_cfg(args, solve_cfg):
+    """Resolve --warmup-solver into a hybrid warmup SolveConfig (or None).
+
+    'auto' warms up with the exact thomas engine whenever the main engine is
+    the fused Pallas one: at a high-misfit random start the fused residual
+    noise can collapse dual-averaging (BASELINE.md round 3), and warmup is a
+    negligible share of a production run.
+    """
+    import dataclasses
+
+    ws = getattr(args, "warmup_solver", "auto")
+    if ws == "auto":
+        ws = "thomas" if solve_cfg.solver_method == "fused" else "same"
+    if ws == "same" or ws == solve_cfg.solver_method:
+        return None
+    return dataclasses.replace(
+        solve_cfg, solver_method=ws,
+        refine_iters=max(solve_cfg.refine_iters, 1)
+        if ws == "fused" else 1)
 
 
 def cmd_run(args):
@@ -110,7 +142,8 @@ def cmd_run(args):
                         checkpoint_every=args.checkpoint_every,
                         checkpoint_stride=args.checkpoint_stride,
                         resume=args.resume, verbose=not args.quiet,
-                        progress_every=args.progress_every)
+                        progress_every=args.progress_every,
+                        warmup_solve_cfg=_warmup_cfg(args, solve_cfg))
     if profiler:
         jax.profiler.stop_trace()
         print(f"[hmcmt2d] profiler trace written to {profiler}")
@@ -199,6 +232,11 @@ def main(argv=None):
                       help="suppress per-segment progress lines")
     runp.add_argument("--progress-every", type=int, default=0,
                       help="segment length for progress lines (no checkpoint)")
+    runp.add_argument("--warmup-solver", default="auto",
+                      choices=["auto", "same", "thomas", "bcr", "fused"],
+                      help="hybrid schedule: engine for the warmup phase "
+                           "(auto = exact thomas when the main engine is "
+                           "fused; same = disable the hybrid)")
     runp.add_argument("--profile", default="",
                       help="write a jax.profiler trace to this directory")
     # multi-host (jax.distributed) flags

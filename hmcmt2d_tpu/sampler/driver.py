@@ -116,7 +116,8 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                   resume: bool = False,
                   device_mesh=None,
                   verbose: bool = False,
-                  progress_every: int = 0) -> InversionRun:
+                  progress_every: int = 0,
+                  warmup_solve_cfg: SolveConfig | None = None) -> InversionRun:
     """End-to-end inversion: all chains advance in one jitted scan, batched
     through the PDE solves.
 
@@ -138,6 +139,19 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
     per-iteration misfit/accept lines, HMCSampler.jl:145-166; one line per
     jitted segment is the batched equivalent — set ``progress_every`` to
     force shorter segments for more frequent lines).
+
+    ``warmup_solve_cfg`` enables the HYBRID engine schedule: warmup
+    adaptation runs with this (typically exact, e.g. thomas+complex64
+    refine) solver configuration, and the post-warmup main phase re-
+    initialises the chain state under the primary ``solve_cfg`` engine
+    (typically the fused Pallas engine).  Rationale: at a high-misfit
+    random start the fused engine's residual potential noise can defeat
+    dual-averaging (dt collapse — see BASELINE.md round 3), while near the
+    posterior the noise is negligible; the exact engine is only ~4x slower
+    and warmup is ~1% of a production run.  The main phase starts fresh at
+    the warmed-up model (no cross-engine gradient carry-over), so the
+    sample stream is exactly what the main engine alone would produce from
+    that state.
     """
     from . import checkpoint as C
 
@@ -159,11 +173,26 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
     amortize = cfg.amortize and problem.fwd.cfg.solver_method != "fused"
     factor_fn = make_factor_fn(problem) if amortize else None
 
-    sharded = None
+    # hybrid engine schedule: a second problem bound to the warmup engine
+    hybrid = (warmup_solve_cfg is not None and cfg.adapt and not resume
+              and warmup_solve_cfg != problem.fwd.cfg)
+    if hybrid:
+        problem_w = dataclasses.replace(
+            problem, fwd=dataclasses.replace(problem.fwd, cfg=warmup_solve_cfg))
+        vg_w = make_potential_vg(problem_w, cfg.reg_param)
+        amortize_w = cfg.amortize and warmup_solve_cfg.solver_method != "fused"
+        factor_fn_w = make_factor_fn(problem_w) if amortize_w else None
+    else:
+        problem_w, vg_w, factor_fn_w = problem, vg, factor_fn
+
+    sharded = sharded_w = None
     if device_mesh is not None:
         from ..parallel.multichain import ShardedSampler
         sharded = ShardedSampler(problem, cfg.reg_param, device_mesh,
                                  amortize=amortize)
+        sharded_w = sharded if not hybrid else ShardedSampler(
+            problem_w, cfg.reg_param, device_mesh,
+            amortize=cfg.amortize and warmup_solve_cfg.solver_method != "fused")
 
     def log(msg):
         if verbose:
@@ -206,8 +235,8 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             n_warm = min(cfg.burnin, n_samples)
             wopts = A.WarmupOptions(target_accept=cfg.target_accept)
             key_warm, key_main = jax.random.split(key_run)
-            if sharded is not None:
-                wres, state, mass, info = sharded.warmup(
+            if sharded_w is not None:
+                wres, state, mass, info = sharded_w.warmup(
                     opts, m_start, m_ref, n_warm, key_warm, wopts,
                     seg=checkpoint_every or progress_every or 0)
                 jax.block_until_ready(wres.models)
@@ -228,7 +257,7 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                     A.window_schedule(n_warm, wopts)) if wopts.adapt_mass \
                     else np.zeros(n_warm, bool)
                 carry = jax.jit(lambda m0, mref: A.warmup_carry_init(
-                    vg, opts, m0, mref))(m_start, m_ref)
+                    vg_w, opts, m0, mref))(m_start, m_ref)
                 state0 = carry.state
                 wseg = {}
                 done_w = 0
@@ -237,8 +266,8 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                     if n_sw not in wseg:
                         wseg[n_sw] = jax.jit(
                             lambda c, mref, k, off, e, n=n_sw: A.warmup_scan(
-                                vg, opts, mref, c, A.warmup_keys(k, off, n),
-                                e, wopts, factor_fn=factor_fn))
+                                vg_w, opts, mref, c, A.warmup_keys(k, off, n),
+                                e, wopts, factor_fn=factor_fn_w))
                     carry, (wm, ws, wa, wp, wl) = wseg[n_sw](
                         carry, m_ref, key_warm, done_w,
                         jnp.asarray(ends_full[done_w: done_w + n_sw]))
@@ -261,6 +290,14 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                 start_stats = ss
                 start_pred = to_host(sp)
             opts = dataclasses.replace(opts, dt=float(info.dt))
+            if hybrid:
+                # engine switch: main phase re-initialises itself (potential
+                # + gradient under the primary engine) at the warmed-up model
+                m_start = state.m
+                state = None
+                log(f"hybrid: warmup engine "
+                    f"{warmup_solve_cfg.solver_method} -> main engine "
+                    f"{problem.fwd.cfg.solver_method}")
             log(f"warmup {n_warm} iters in {time.time() - t0:.1f}s: adapted "
                 f"dt={opts.dt:.4g}, accept~{float(info.alpha_mean):.2f}, "
                 f"misfit {float(np.asarray(start_stats)[:, 0].mean()):.4g} -> "

@@ -132,26 +132,36 @@ def test_independent_numpy_hmc_matches_scan_sampler():
         (U, aux), g = vg1(jnp.asarray(m))
         return (float(U[0]), None), np.asarray(g[0], np.float64)
 
-    rng = np.random.default_rng(3)
-    m_init = np.asarray(wstate.m[0], np.float64)
-    np_samples, np_rate = _numpy_hmc(vg_np, m_init, 400, rng, opts, dt)
-    np_samples = np_samples[80:]
+    # two independent numpy chains, long enough for a per-parameter ESS
+    # estimate (round 3 used one 400-draw chain with a crude flat ESS floor,
+    # which deterministically inflated the extreme z of 96 comparisons to
+    # 8.9; with per-parameter Vehtari ESS over longer chains the same
+    # samplers agree at max z ~ 3.9 and sd ratio ~ 1.0 — measured, no bias)
+    np_chains, np_rates = [], []
+    for i, seed in enumerate((3, 13)):
+        rng = np.random.default_rng(seed)
+        m_init = np.asarray(wstate.m[i], np.float64)
+        s, r = _numpy_hmc(vg_np, m_init, 800, rng, opts, dt)
+        np_chains.append(s[160:])
+        np_rates.append(r)
+    np_stack = np.stack(np_chains, axis=1)            # (640, 2, P)
+    np_samples = np_stack.reshape(-1, len(m0))
 
     assert 0.4 < jax_rate <= 1.0, jax_rate
-    assert 0.4 < np_rate <= 1.0, np_rate
+    assert all(0.4 < r <= 1.0 for r in np_rates), np_rates
 
-    # effective sample sizes -> per-parameter MC standard errors
+    # per-parameter effective sample sizes -> MC standard errors
     ess_j = np.maximum(np.asarray(D.ess(res.models[S // 5:])), 4.0)
+    ess_n = np.maximum(np.asarray(D.ess(np_stack)), 4.0)
     mu_j, sd_j = jax_samples.mean(0), jax_samples.std(0)
     mu_n, sd_n = np_samples.mean(0), np_samples.std(0)
-    ess_n = np.full(len(m0), max(len(np_samples) / 10.0, 4.0))
 
     se = np.sqrt(sd_j**2 / ess_j + sd_n**2 / ess_n)
     z = np.abs(mu_j - mu_n) / np.maximum(se, 1e-12)
-    # a 96-parameter comparison: allow the expected extremes of ~96 z-scores
-    # plus slack for ESS underestimation
-    assert np.median(z) < 3.0, (np.median(z), z.max())
-    assert z.max() < 8.0, z.max()
+    # 96 comparisons: expected extreme of 96 standard normals is ~2.8; allow
+    # headroom for ESS-estimate noise on short autocorrelated chains
+    assert np.median(z) < 2.0, (np.median(z), z.max())
+    assert z.max() < 6.0, z.max()
     # posterior scales agree
     ratio = sd_j / np.maximum(sd_n, 1e-12)
     assert 0.5 < np.median(ratio) < 2.0, np.median(ratio)
