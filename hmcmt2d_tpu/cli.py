@@ -160,7 +160,8 @@ def cmd_run(args):
         O.write_chain_outputs(result.models, result.stats, result.accepts,
                               result.pred, result.start_stats, chain=c,
                               ichain=c + 1, cputime=wall, outdir=args.outdir,
-                              start_pred=result.start_pred)
+                              start_pred=result.start_pred,
+                              thin=max(args.out_thin, 1))
     if C >= 2:
         rhat = np.asarray(D.split_rhat(result.models))
         print(f"[hmcmt2d] split-R-hat: max={rhat.max():.3f} "
@@ -232,6 +233,9 @@ def main(argv=None):
                       help="suppress per-segment progress lines")
     runp.add_argument("--progress-every", type=int, default=0,
                       help="segment length for progress lines (no checkpoint)")
+    runp.add_argument("--out-thin", type=int, default=1,
+                      help="write every Nth sample row of the per-chain "
+                           "model/data dumps (stats log stays full)")
     runp.add_argument("--warmup-solver", default="auto",
                       choices=["auto", "same", "thomas", "bcr", "fused"],
                       help="hybrid schedule: engine for the warmup phase "

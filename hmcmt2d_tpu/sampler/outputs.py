@@ -53,12 +53,17 @@ def write_posterior_models(problem: InverseProblem, models, burnin: int,
 
 def write_chain_outputs(models, stats, accepts, pred, start_stats,
                         chain: int = 0, ichain: int = 1, cputime: float = 0.0,
-                        outdir: str = ".", start_pred=None):
+                        outdir: str = ".", start_pred=None, thin: int = 1):
     """Per-chain sample/data/statistics files (outputHMCSamples).
 
     ``models`` (S, C, P), ``stats`` (S, C, 4), ``accepts`` (S, C),
     ``pred`` (S, C, D), ``start_stats`` (C, 4), ``start_pred`` (C, D);
     ``chain`` selects the batch column, ``ichain`` the 1-based file id.
+
+    ``thin`` > 1 writes every ``thin``-th sample row of the (large) model
+    and predicted-data dumps — a reference-scale 10k-sample run would emit
+    multiple GB of text per chain otherwise; the per-iteration statistics
+    log is always written in full.
     """
     models = np.asarray(models)[:, chain]
     stats = np.asarray(stats)[:, chain]
@@ -68,13 +73,13 @@ def write_chain_outputs(models, stats, accepts, pred, start_stats,
     S = models.shape[0]
 
     with open(os.path.join(outdir, f"hmcsamples_id{ichain}.model"), "w") as f:
-        for k in range(S):
+        for k in range(0, S, thin):
             f.write("".join("%8.4e " % v for v in models[k]) + "\n")
 
     # S+1 rows: the start-model predicted data first, as the reference writes
     # (outputHMCSamples, HMCSampler.jl:801-808)
-    rows = pred if start_pred is None else np.concatenate(
-        [to_host(start_pred)[None, chain], pred])
+    rows = pred[::thin] if start_pred is None else np.concatenate(
+        [to_host(start_pred)[None, chain], pred[::thin]])
     with open(os.path.join(outdir, f"hmcsamples_id{ichain}.data"), "w") as f:
         for row in rows:
             if np.iscomplexobj(rows):
