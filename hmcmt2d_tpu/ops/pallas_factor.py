@@ -110,8 +110,32 @@ def _gj_inverse(sr, si):
     return xr[:, :, Q:], xi[:, :, Q:]
 
 
+POLISH = 0       # Newton-Schulz steps after each line's GJ inverse.
+                 # Interpret-mode validated (1.4-8x lower solve error on the
+                 # real operator, best on low-freq TM; tests/test_pallas_factor)
+                 # but default-off until hardware-validated via
+                 # scripts/mfu_probe.py — this runtime has a miscompile history.
+
+
+def _ns_polish(sr, si, gr, gi):
+    """One Newton-Schulz step G <- G + G (I - S G).
+
+    Quadratically contracts the inversion residual (||I - S G|| ~ 1e-3 ->
+    1e-6) for two extra complex (Bb, Q, Q) matmuls per line — pure MXU work
+    on operands already resident in VMEM, no extra HBM traffic.  This
+    polishes the per-line inverse only; f32 rounding of the Schur-chain
+    assembly itself is what downstream iterative refinement corrects.
+    """
+    sgr, sgi = _cdot(sr, si, gr, gi)
+    eye = jnp.eye(Q, dtype=jnp.float32)[None]
+    er = eye - sgr
+    ei = -sgi
+    dgr, dgi = _cdot(gr, gi, er, ei)
+    return gr + dgr, gi + dgi
+
+
 def _factor_kernel(dr_ref, di_ref, oy_ref, ozp_ref, gr_ref, gi_ref,
-                   gpr, gpi):
+                   gpr, gpi, *, polish: int):
     """One grid step: line j of batch block bb.
 
     Refs (blocked): dr/di (Bb, 1, Q) line diagonal; oy (Bb, 1, Q) y-coupling
@@ -136,19 +160,25 @@ def _factor_kernel(dr_ref, di_ref, oy_ref, ozp_ref, gr_ref, gi_ref,
     sr = dr[:, None, :] * on_d - oy[:, :, None] * on_up - oy[:, None, :] * on_lo
     si = di[:, None, :] * on_d
 
+    def invert(sr_, si_):
+        gr, gi = _gj_inverse(sr_, si_)
+        for _ in range(polish):
+            gr, gi = _ns_polish(sr_, si_, gr, gi)
+        return gr, gi
+
     # Schur downdate S -= diag(c) G_prev diag(c)   (c = incoming z-coupling)
     @pl.when(j > 0)
     def _():
         cc = ozp[:, :, None] * ozp[:, None, :]         # (Bb, Q, Q) rank-1
         sr_ref_val = sr - cc * gpr[...]
         si_ref_val = si - cc * gpi[...]
-        gr, gi = _gj_inverse(sr_ref_val, si_ref_val)
+        gr, gi = invert(sr_ref_val, si_ref_val)
         gpr[...] = gr
         gpi[...] = gi
 
     @pl.when(j == 0)
     def _():
-        gr, gi = _gj_inverse(sr, si)
+        gr, gi = invert(sr, si)
         gpr[...] = gr
         gpi[...] = gi
 
@@ -156,7 +186,8 @@ def _factor_kernel(dr_ref, di_ref, oy_ref, ozp_ref, gr_ref, gi_ref,
     gi_ref[0, :, :, :] = gpi[...]
 
 
-def _fused_factor_planes(dr, di, oy, ozp, block_b: int, interpret: bool):
+def _fused_factor_planes(dr, di, oy, ozp, block_b: int, interpret: bool,
+                         polish: int | None = None):
     """dr/di/oy/ozp are (nzi, B, Q) float32 planes (z-line axis FIRST so the
     block's last two dims are the (8, 128)-tileable (Bb, Q)); B % block_b
     == 0.  Returns (nzi, B, Q, Q) planes."""
@@ -167,7 +198,8 @@ def _fused_factor_planes(dr, di, oy, ozp, block_b: int, interpret: bool):
     out_spec = pl.BlockSpec((1, block_b, Q, Q), lambda b, j: (j, b, 0, 0),
                             memory_space=pltpu.VMEM)
     gr, gi = pl.pallas_call(
-        _factor_kernel,
+        functools.partial(_factor_kernel,
+                          polish=POLISH if polish is None else polish),
         grid=grid,
         in_specs=[spec_line] * 4,
         out_specs=[out_spec, out_spec],
@@ -179,7 +211,7 @@ def _fused_factor_planes(dr, di, oy, ozp, block_b: int, interpret: bool):
 
 
 def fused_schur_factor(diag, offy, offz, block_b: int = 8,
-                       interpret: bool = False):
+                       interpret: bool = False, polish: int | None = None):
     """Drop-in Schur-complement chain: returns G with the shape/meaning of
     ``bt_factor(...).G`` — (..., nzi, q, q) complex — computed by the fused
     Pallas kernel.  ``diag`` (..., nzi, q) complex64; ``offy`` (..., nzi,
@@ -218,7 +250,7 @@ def fused_schur_factor(diag, offy, offz, block_b: int = 8,
 
     gr, gi = _fused_factor_planes(
         *(jnp.swapaxes(a, 0, 1) for a in (dr, di, oy, ozp)),
-        block_b, interpret)
+        block_b, interpret, polish)
     G = lax.complex(gr[:, :B, :q, :q], gi[:, :B, :q, :q])
     return jnp.moveaxis(G, 0, -3).reshape(batch + (nzi, q, q))
 
