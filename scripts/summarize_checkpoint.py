@@ -68,6 +68,7 @@ def main():
     misfit = stats[..., 0]                          # (S, C)
     rhat = np.asarray(D.split_rhat(post)) if S - n_warm >= 4 else None
     ess = np.asarray(D.ess(post)) if S - n_warm >= 4 else None
+    etail = np.asarray(D.ess_tail(post)) if S - n_warm >= 8 else None
 
     # posterior-mean fit
     mean_m = post.reshape(-1, P).mean(axis=0)
@@ -99,6 +100,13 @@ def main():
         "split_rhat_median": round(float(np.median(rhat)), 3) if rhat is not None else None,
         "ess_median": round(float(np.median(ess)), 1) if ess is not None else None,
         "ess_total": round(float(np.sum(ess)), 1) if ess is not None else None,
+        "ess_tail_median": (round(float(np.median(etail)), 1)
+                            if etail is not None else None),
+        "accept_rate_last_quarter": round(
+            float(accepts[n_warm + 3 * (S - n_warm) // 4:].mean()), 3),
+        "diagnostics": "rank-normalized split-R-hat (bulk+folded max) and "
+                       "bulk/tail ESS, Vehtari et al. 2021 "
+                       "(sampler/diagnostics.py)",
         "wall_time_s": round(float(ck["wall_time"]), 1),
         "samples_per_sec_total": round(S * Cn / float(ck["wall_time"]), 3),
         "anomaly_zscore_max": round(float(np.abs(z).max()), 2),
