@@ -30,7 +30,17 @@ def main():
     ap.add_argument("outdir")
     ap.add_argument("--status", default="")
     ap.add_argument("--notes", default="")
+    ap.add_argument("--platform", default="cpu",
+                    help="jax platform (default cpu — NEVER run this next "
+                         "to a live production run on the device: env vars "
+                         "are ignored by this environment's startup hook, "
+                         "so the platform is forced via jax.config here)")
     args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
 
     from hmcmt2d_tpu.io.startup import read_startup
     from hmcmt2d_tpu.models.posterior import build_inverse_problem
