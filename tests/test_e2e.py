@@ -94,3 +94,26 @@ def test_end_to_end_inversion(tmp_path):
     assert np.isfinite(rhat).all()
     e = np.asarray(D.ess(res.models))
     assert e.shape == (P,) and np.all(e > 0)
+
+
+def test_chain_outputs_thinning(tmp_path):
+    """--out-thin: model/data dumps keep every Nth row, stats log stays full."""
+    S, C, P, D_ = 11, 2, 3, 4
+    rng = np.random.default_rng(0)
+    models = rng.standard_normal((S, C, P))
+    stats = rng.standard_normal((S, C, 4))
+    accepts = rng.random((S, C)) > 0.5
+    pred = rng.standard_normal((S, C, D_))
+    start_stats = rng.standard_normal((C, 4))
+    start_pred = rng.standard_normal((C, D_))
+    O.write_chain_outputs(models, stats, accepts, pred, start_stats,
+                          chain=1, ichain=2, outdir=str(tmp_path),
+                          start_pred=start_pred, thin=4)
+    m_lines = (tmp_path / "hmcsamples_id2.model").read_text().splitlines()
+    assert len(m_lines) == len(range(0, S, 4))
+    np.testing.assert_allclose(np.array(m_lines[1].split(), float),
+                               models[4, 1], rtol=2e-4, atol=1e-7)
+    d_lines = (tmp_path / "hmcsamples_id2.data").read_text().splitlines()
+    assert len(d_lines) == len(range(0, S, 4)) + 1      # + start row
+    log_lines = (tmp_path / "hmcstatistics_id2.log").read_text().splitlines()
+    assert len(log_lines) == 4 + S                       # stats NOT thinned
