@@ -82,16 +82,18 @@ def default_config() -> SolveConfig:
         # Pallas kernels have no CPU (non-interpret) lowering — keep the
         # XLA engine on CPU
         return SolveConfig(jnp.complex64, 1, "thomas")
-    # TPU production default: the fused Pallas engine — measured ~4.5x
+    # TPU production default: the fused Pallas engine — measured ~3.4x
     # faster per gradient eval than thomas+LU at production shape AND
     # accurate on device (the XLA GJ/BCR alternatives are miscompiled/
-    # faulting on this runtime — BASELINE.md).  refine_iters=3, not 1: the
-    # extra refinement costs ~nothing (sweep solves are cheap in-program)
-    # and tightens the potential/gradient consistency from 1e-4/2.7% to
-    # 1.2e-5/0.48% — at refine 1 the leapfrog energy error rejects every
-    # proposal near a posterior mode (measured accept 0.0 -> 0.27 at the
-    # bench posterior, and warmup dual averaging collapses at high misfit)
-    return SolveConfig(jnp.complex64, 3, "fused")
+    # faulting on this runtime — BASELINE.md).  refine_iters=6: the round-4
+    # production run measured MH acceptance vs refinement directly at the
+    # dprism posterior (dt 0.0712 adapted by the exact warmup engine):
+    # refine 3 -> accept ~0.25 (0.48% gradient inconsistency accumulates as
+    # leapfrog energy noise over the trajectory), refine 6 -> ~0.6 at 7.3-7.8
+    # samples/s (runs/dprism3d_r4/run*.log; exact thomas gives 0.78-0.83 at
+    # 2.2).  Warmup additionally needs the exact engine at a high-misfit
+    # start (cli --warmup-solver auto = the hybrid schedule).
+    return SolveConfig(jnp.complex64, 6, "fused")
 
 
 class RxInterp(NamedTuple):
