@@ -182,20 +182,34 @@ def _factor_kernel(dr_ref, di_ref, oy_ref, ozp_ref, gr_ref, gi_ref,
         gpr[...] = gr
         gpi[...] = gi
 
-    gr_ref[0, :, :, :] = gpr[...]
-    gi_ref[0, :, :, :] = gpi[...]
+    # q-tight output: only the first R (= q rounded up to the sublane tile)
+    # rows are stored.  The q..Q-1 pad block is EXACTLY the identity at every
+    # line (pad diag = 1, pad couplings = 0, and the padded system stays
+    # block-diagonal through downdate, GJ and polish in f32 — zero times
+    # anything is exactly zero), so the sweeps reconstruct the pad rows as
+    # zeros for free.  Cuts the bandwidth-bound factor-plane traffic by
+    # 1 - R/Q (25% on dprism q=95, 37.5% on coprod2 q=75).
+    R = gr_ref.shape[-2]
+    gr_ref[0, :, :, :] = gpr[:, :R, :]
+    gi_ref[0, :, :, :] = gpi[:, :R, :]
+
+
+def _round_rows(q: int) -> int:
+    """q-tight stored row count: q rounded up to the f32 sublane tile (8)."""
+    return min(Q, -(-q // 8) * 8)
 
 
 def _fused_factor_planes(dr, di, oy, ozp, block_b: int, interpret: bool,
-                         polish: int | None = None):
+                         polish: int | None = None, rows: int = Q):
     """dr/di/oy/ozp are (nzi, B, Q) float32 planes (z-line axis FIRST so the
     block's last two dims are the (8, 128)-tileable (Bb, Q)); B % block_b
-    == 0.  Returns (nzi, B, Q, Q) planes."""
+    == 0.  Returns (nzi, B, rows, Q) planes (``rows`` <= Q keeps only the
+    true-block rows, see the factor kernel's q-tight output note)."""
     nzi, B, _ = dr.shape
     grid = (B // block_b, nzi)
     spec_line = pl.BlockSpec((1, block_b, Q), lambda b, j: (j, b, 0),
                              memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, block_b, Q, Q), lambda b, j: (j, b, 0, 0),
+    out_spec = pl.BlockSpec((1, block_b, rows, Q), lambda b, j: (j, b, 0, 0),
                             memory_space=pltpu.VMEM)
     gr, gi = pl.pallas_call(
         functools.partial(_factor_kernel,
@@ -203,7 +217,7 @@ def _fused_factor_planes(dr, di, oy, ozp, block_b: int, interpret: bool,
         grid=grid,
         in_specs=[spec_line] * 4,
         out_specs=[out_spec, out_spec],
-        out_shape=[jax.ShapeDtypeStruct((nzi, B, Q, Q), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((nzi, B, rows, Q), jnp.float32)] * 2,
         scratch_shapes=[pltpu.VMEM((block_b, Q, Q), jnp.float32)] * 2,
         interpret=interpret,
     )(dr, di, oy, ozp)
@@ -250,7 +264,7 @@ def fused_schur_factor(diag, offy, offz, block_b: int = 8,
 
     gr, gi = _fused_factor_planes(
         *(jnp.swapaxes(a, 0, 1) for a in (dr, di, oy, ozp)),
-        block_b, interpret, polish)
+        block_b, interpret, polish, rows=_round_rows(q))
     G = lax.complex(gr[:, :B, :q, :q], gi[:, :B, :q, :q])
     return jnp.moveaxis(G, 0, -3).reshape(batch + (nzi, q, q))
 
@@ -272,8 +286,10 @@ INTERPRET = False     # tests flip this to run the kernels interpreted on CPU
 class PlanesFactor:
     """Split-plane block-Thomas factors (pytree).
 
-    gr/gi: (nzi, Bp, Q, Q) inverse Schur complements; ozp: (nzi, Bp, Q)
-    incoming z-coupling (zero row at j=0); ozn: outgoing (zero at j=nzi-1).
+    gr/gi: (nzi, Bp, R, Q) inverse Schur complements, R = q rounded up to
+    the sublane tile (q-tight rows — the Q-pad rows are identity and are
+    reconstructed as zeros by the sweeps); ozp: (nzi, Bp, Q) incoming
+    z-coupling (zero row at j=0); ozn: outgoing (zero at j=nzi-1).
     """
 
     def __init__(self, gr, gi, ozp, ozn):
@@ -321,10 +337,21 @@ def _prep_planes(diag, offy, offz, block_b):
 
 def fused_schur_factor_planes(diag, offy, offz, block_b: int = 8) -> PlanesFactor:
     """Factorise and keep the factors in kernel plane layout (no complex G)."""
-    dr, di, oy, ozp, ozn, _B, _q, _batch = _prep_planes(diag, offy, offz,
-                                                        block_b)
-    gr, gi = _fused_factor_planes(dr, di, oy, ozp, block_b, INTERPRET)
+    dr, di, oy, ozp, ozn, _B, q, _batch = _prep_planes(diag, offy, offz,
+                                                       block_b)
+    gr, gi = _fused_factor_planes(dr, di, oy, ozp, block_b, INTERPRET,
+                                  rows=_round_rows(q))
     return PlanesFactor(gr, gi, ozp, ozn)
+
+
+def _pad_rows_to_Q(y):
+    """(Bb, R) -> (Bb, Q): the q-tight factor rows cover the true block; the
+    Q-pad entries of the solution are exactly zero (identity pad, zero rhs)."""
+    R = y.shape[-1]
+    if R == Q:
+        return y
+    return jnp.concatenate(
+        [y, jnp.zeros(y.shape[:-1] + (Q - R,), y.dtype)], axis=-1)
 
 
 def _sweep_fwd_kernel(gr_ref, gi_ref, c_ref, br_ref, bi_ref,
@@ -340,12 +367,13 @@ def _sweep_fwd_kernel(gr_ref, gi_ref, c_ref, br_ref, bi_ref,
     c = c_ref[0]                                        # (Bb, Q)
     vr = br_ref[0] + c * pr[...]
     vi = bi_ref[0] + c * pi[...]
-    gr = gr_ref[0]                                      # (Bb, Q, Q)
+    gr = gr_ref[0]                                      # (Bb, R, Q)
     gi = gi_ref[0]
     yr = (jnp.sum(gr * vr[:, None, :], axis=-1)
-          - jnp.sum(gi * vi[:, None, :], axis=-1))
+          - jnp.sum(gi * vi[:, None, :], axis=-1))      # (Bb, R)
     yi = (jnp.sum(gr * vi[:, None, :], axis=-1)
           + jnp.sum(gi * vr[:, None, :], axis=-1))
+    yr, yi = _pad_rows_to_Q(yr), _pad_rows_to_Q(yi)
     pr[...] = yr
     pi[...] = yi
     yr_ref[0] = yr
@@ -366,12 +394,14 @@ def _sweep_bwd_kernel(gr_ref, gi_ref, c_ref, yr_ref, yi_ref,
     c = c_ref[0]
     vr = c * pr[...]
     vi = c * pi[...]
-    gr = gr_ref[0]
+    gr = gr_ref[0]                                      # (Bb, R, Q)
     gi = gi_ref[0]
-    xr = yr_ref[0] + (jnp.sum(gr * vr[:, None, :], axis=-1)
-                      - jnp.sum(gi * vi[:, None, :], axis=-1))
-    xi = yi_ref[0] + (jnp.sum(gr * vi[:, None, :], axis=-1)
-                      + jnp.sum(gi * vr[:, None, :], axis=-1))
+    xr = yr_ref[0] + _pad_rows_to_Q(
+        jnp.sum(gr * vr[:, None, :], axis=-1)
+        - jnp.sum(gi * vi[:, None, :], axis=-1))
+    xi = yi_ref[0] + _pad_rows_to_Q(
+        jnp.sum(gr * vi[:, None, :], axis=-1)
+        + jnp.sum(gi * vr[:, None, :], axis=-1))
     pr[...] = xr
     pi[...] = xi
     xr_ref[0] = xr
@@ -381,12 +411,13 @@ def _sweep_bwd_kernel(gr_ref, gi_ref, c_ref, yr_ref, yi_ref,
 def _sweeps(fac: PlanesFactor, br, bi, block_b: int):
     """Both triangular sweeps; br/bi are (nzi, Bp, Q) planes."""
     nzi, Bp, _ = br.shape
+    R = fac.gr.shape[-2]
     grid = (Bp // block_b, nzi)
-    mat = pl.BlockSpec((1, block_b, Q, Q), lambda b, j: (j, b, 0, 0),
+    mat = pl.BlockSpec((1, block_b, R, Q), lambda b, j: (j, b, 0, 0),
                        memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, block_b, Q), lambda b, j: (j, b, 0),
                        memory_space=pltpu.VMEM)
-    mat_r = pl.BlockSpec((1, block_b, Q, Q),
+    mat_r = pl.BlockSpec((1, block_b, R, Q),
                          lambda b, j, n=nzi: (n - 1 - j, b, 0, 0),
                          memory_space=pltpu.VMEM)
     vec_r = pl.BlockSpec((1, block_b, Q),
