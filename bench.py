@@ -6,9 +6,15 @@ Prints ONE JSON line whose required fields are {"metric", "value", "unit",
 value               = HMC samples/sec/chip at the best measured chain count
                       (each sample = L~U[6,10] leapfrog steps; each step = one
                       forward + one adjoint PDE sweep over 11 freqs x 2 modes
-                      solved as ONE batched system, with the trajectory-
-                      amortised factorisation refactoring every 4 steps).
-ess_per_sec_per_chip= effective samples/sec (bulk ESS, median over params).
+                      solved as ONE batched system).  Measured on the ADAPTED
+                      production kernel: a segmented warmup (dual-averaging dt
+                      + diagonal mass, sampler/adapt.py) runs first so the MH
+                      acceptance lands in the production band — the samples/s
+                      figure doubles as the engine rate (leapfrog work per
+                      sample is independent of dt and the MH outcome).
+ess_per_sec_per_chip= effective samples/sec (rank-normalized bulk ESS,
+                      Vehtari et al. 2021, median over params, >=200-sample
+                      window at the adapted kernel).
 solves_per_sec      = (freq x mode) forward+adjoint linear-system pairs/sec.
 nfevals             = gradient evaluations in the ESS run (the reference's
                       counter, HMCStruct.jl:34).
