@@ -370,7 +370,7 @@ def main(smoke: bool = False):
     # >=200-sample window is timed (VERDICT r3 #4).
     stats = measure_ess(factory, base_chains,
                         n_samples=200 if on_tpu else (4 if smoke else 8),
-                        n_warm=40 if on_tpu else 4)
+                        n_warm=104 if on_tpu else 4)
     sweep = {str(base_chains): stats["samples_per_sec"]}
     # the thomas+LU comparison (2.17 samples/s captured this round) and the
     # engine accuracy evidence live in BASELINE.md and
