@@ -82,10 +82,15 @@ def _warmup_cfg(args, solve_cfg):
         ws = "thomas" if solve_cfg.solver_method == "fused" else "same"
     if ws == "same" or ws == solve_cfg.solver_method:
         return None
+    # refine_iters=3 for the exact warmup engine: at extreme high-misfit
+    # states (COPROD2 descent, round 4) the refine-1 potential has
+    # O(1e-4)-relative cliffs that inexact HMC seeks out and then sticks to
+    # (alpha pinned at 0 at any dt -> dual-averaging collapse); two extra
+    # refinement passes cost ~nothing in a warmup-only engine
     return dataclasses.replace(
         solve_cfg, solver_method=ws,
         refine_iters=max(solve_cfg.refine_iters, 1)
-        if ws == "fused" else 1)
+        if ws == "fused" else 3)
 
 
 def cmd_run(args):

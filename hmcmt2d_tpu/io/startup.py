@@ -45,6 +45,9 @@ class HMCConfig:
     # fewer factorisations).  "amortize: off" forces a fresh factorisation
     # every leapfrog step (the reference's behaviour).
     amortize: bool = True
+    # cross-chain pooling of the warmup acceptance statistic: "mean" (Stan)
+    # or "median" (robust to a stuck-chain minority; see WarmupOptions)
+    warmup_pool: str = "mean"
 
     @property
     def max_steps(self) -> int:
@@ -99,6 +102,8 @@ def parse_startup(path) -> tuple[HMCConfig, str, str]:
                 cfg.adapt = toks[-1].lower() in ("1", "true", "yes", "on")
             elif "amortize:" in line:    # extension: trajectory-amortised factor
                 cfg.amortize = toks[-1].lower() in ("1", "true", "yes", "on")
+            elif "warmuppool:" in line:  # extension: warmup alpha pooling
+                cfg.warmup_pool = toks[-1].lower()
     cfg.sig_fix = tuple(sig_fix)
     if datafile is None or modelfile is None:
         raise ValueError(f"startup file {path} must name datafile: and modelfile:")

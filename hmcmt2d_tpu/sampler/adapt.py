@@ -42,6 +42,14 @@ class WarmupOptions:
     term_buffer: int = 50    # step-size-only iterations at the end
     base_window: int = 25    # first mass window length (doubles each window)
     adapt_mass: bool = True
+    # cross-chain pooling of the dual-averaging acceptance statistic:
+    # "mean" (Stan's choice) or "median".  Median is robust to a MINORITY of
+    # stuck chains: at extreme high-misfit states the inexact potential can
+    # pin single chains at alpha=0 (a solver-accuracy cliff, COPROD2 round
+    # 4); with mean pooling two stuck chains of 8 drag alpha_mean below the
+    # target forever and dt death-spirals to ~1e-14, freezing ALL chains.
+    # (Not available on the sharded pmean path — mean is used there.)
+    alpha_pool: str = "mean"
 
 
 def window_schedule(n_warmup: int, w: WarmupOptions) -> np.ndarray:
@@ -154,6 +162,13 @@ def warmup_scan(potential_vg: Callable, opts: HMCOptions, m_ref,
             x = lax.pmean(x, pool_axis)
         return x
 
+    def pool_alpha(x):
+        if w.alpha_pool == "median" and pool_axis is None:
+            # robust to a stuck minority (see WarmupOptions.alpha_pool);
+            # the sharded path has no pmedian collective — mean there
+            return jnp.median(x, axis=0)
+        return pool_mean(x)
+
     n_chains = C
 
     def body(carry, inputs):
@@ -166,7 +181,7 @@ def warmup_scan(potential_vg: Callable, opts: HMCOptions, m_ref,
         # a too-large trial step) is a rejection with acceptance probability 0
         # — without this guard one NaN poisons the dual averaging forever
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)
-        alpha_mean = pool_mean(alpha)
+        alpha_mean = pool_alpha(alpha)
         da = _da_update(da, alpha_mean, w)
 
         n, s1, s2 = acc

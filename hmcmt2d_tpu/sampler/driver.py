@@ -233,7 +233,9 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             # warmup over the burn-in iterations: dual-averaging step size +
             # diagonal mass adaptation, then a fixed-kernel main phase
             n_warm = min(cfg.burnin, n_samples)
-            wopts = A.WarmupOptions(target_accept=cfg.target_accept)
+            wopts = A.WarmupOptions(target_accept=cfg.target_accept,
+                                    alpha_pool=getattr(cfg, "warmup_pool",
+                                                       "mean"))
             key_warm, key_main = jax.random.split(key_run)
             if sharded_w is not None:
                 wres, state, mass, info = sharded_w.warmup(

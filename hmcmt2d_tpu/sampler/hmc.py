@@ -221,7 +221,18 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions,
         # MH: accept if dH > 0 or u < exp(dH) (HMCSampler.jl:149-151)
         dh = h0 - h1
         u = jax.random.uniform(key_u, (c,))
-        accept = (dh > 0) | (u < jnp.exp(dh))
+        # a proposal with ANY non-finite component must never be accepted.
+        # A NaN h1 already rejects through the IEEE comparisons below — but a
+        # FINITE-energy proposal carrying a non-finite gradient (a float32
+        # overflow in one frequency's adjoint can do this while the misfit
+        # stays finite) would poison the carried state: every subsequent
+        # trajectory starts from a NaN gradient, every proposal is NaN,
+        # alpha is pinned to 0 at ANY step size, and warmup dual averaging
+        # death-spirals (the COPROD2 dt -> 1e-14 collapse, round 4).
+        finite = (jnp.isfinite(h1)
+                  & jnp.isfinite(prop.grad).all(axis=-1)
+                  & jnp.isfinite(prop.m).all(axis=-1))
+        accept = finite & ((dh > 0) | (u < jnp.exp(dh)))
         # acceptance probability, used by dual-averaging step-size adaptation
         alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0)))
 

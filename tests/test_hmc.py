@@ -184,3 +184,78 @@ def test_window_schedule():
     # short warmups still produce at least one window end
     ends_s = A.window_schedule(60, w)
     assert ends_s.sum() >= 1
+
+
+def test_nonfinite_gradient_proposal_never_accepted():
+    """A finite-energy proposal with a non-finite gradient must be rejected
+    (round-4 COPROD2 warmup collapse: one accepted NaN-grad state poisons
+    every later trajectory and dual averaging death-spirals)."""
+    import jax
+
+    P = 4
+
+    def vg(m, m_ref, fac=None):
+        U = 0.5 * jnp.sum(m * m, axis=-1)
+        # gradient goes NaN in the half-space m[...,0] > 0.3 while the
+        # potential stays finite
+        g = jnp.where((m[..., :1] > 0.3), jnp.nan, m)
+        pred = jnp.zeros(m.shape[:-1] + (1,))
+        return (U, (U, jnp.zeros_like(U), pred)), g
+
+    opts = H.HMCOptions(dt=0.4, steps_lo=2, steps_hi=3,
+                        log_sig_lo=-50.0, log_sig_hi=50.0, reg_param=1.0)
+    mass = H.identity_mass(P, jnp.float64)
+    m0 = jnp.full((3, P), -1.0, jnp.float64)
+    res = jax.jit(lambda k: H.run_hmc(vg, opts, mass, m0, m0, 60, k,
+                                      sample_dtype=jnp.float64))(
+        jax.random.PRNGKey(0))
+    final = res.final
+    # the carried state stays finite forever
+    assert bool(jnp.isfinite(final.m).all())
+    assert bool(jnp.isfinite(final.grad).all())
+    models = np.asarray(res.models)
+    assert np.isfinite(models).all()
+    # chains keep moving (the dt=0.4 kernel accepts plenty in the finite
+    # region) and never enter the NaN half-space
+    assert float(np.asarray(res.accepts).mean()) > 0.2
+    assert models[..., 0].max() <= 0.3 + 2 * 0.4 * 3  # bounded excursions
+
+
+def test_median_alpha_pool_survives_stuck_chain():
+    """Median pooling of the warmup acceptance statistic must keep adapting
+    when a minority chain is pinned at alpha=0 (solver-accuracy cliff,
+    COPROD2 round 4); mean pooling death-spirals dt instead."""
+    import dataclasses
+
+    import jax
+
+    from hmcmt2d_tpu.sampler import adapt as A
+
+    P, C = 3, 6
+    m0 = jnp.zeros((C, P), jnp.float64)
+
+    def vg(m, m_ref, fac=None):
+        U = 0.5 * jnp.sum(m * m, axis=-1)
+        # chains 0 and 1 sit on a cliff: ANY move costs +1e6 potential
+        # (2 of 6 stuck caps the pooled mean alpha at ~0.67 < target 0.8,
+        # which is the death-spiral regime; 1 stuck chain would survive)
+        moved = jnp.sum((m - m_ref) ** 2, axis=-1) > 1e-20
+        cliff = jnp.where(jnp.arange(m.shape[0]) < 2, 1e6, 0.0)
+        U = U + jnp.where(moved, cliff, 0.0)
+        g = m
+        pred = jnp.zeros(m.shape[:-1] + (1,))
+        return (U, (U, jnp.zeros_like(U), pred)), g
+
+    opts = H.HMCOptions(dt=0.5, steps_lo=2, steps_hi=3,
+                        log_sig_lo=-50.0, log_sig_hi=50.0, reg_param=1.0)
+
+    def run(pool):
+        w = A.WarmupOptions(adapt_mass=False, alpha_pool=pool)
+        _res, _st, _mass, info = jax.jit(lambda k: A.warmup(
+            vg, opts, m0, m0, 120, k, w))(jax.random.PRNGKey(0))
+        return float(info.dt)
+
+    dt_median = run("median")
+    dt_mean = run("mean")
+    assert dt_median > 0.05, dt_median           # healthy adaptation
+    assert dt_mean < dt_median / 50, (dt_mean, dt_median)  # the spiral
