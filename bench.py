@@ -121,15 +121,18 @@ def _build(problem_factory, n_chains, amortize=None, seg=8, method=None,
         wkey = jax.random.PRNGKey(7)
         carry = jax.jit(lambda m, mref: A.warmup_carry_init(
             vg, opts, m, mref))(m_start, m_start)
-        wseg = jax.jit(lambda c, k, off, e: A.warmup_scan(
-            vg, opts, m_start, c, A.warmup_keys(k, off, seg), e, wopts,
-            factor_fn=factor_fn))
+        wsegs = {}          # per-length jit cache: n_warm need not divide seg
         done = 0
-        while done < n_warm:            # n_warm must be a multiple of seg
-            carry, _ = wseg(carry, wkey, done,
-                            jnp.asarray(ends[done: done + seg]))
+        while done < n_warm:
+            n_sw = min(seg, n_warm - done)
+            if n_sw not in wsegs:
+                wsegs[n_sw] = jax.jit(lambda c, k, off, e, n=n_sw: A.warmup_scan(
+                    vg, opts, m_start, c, A.warmup_keys(k, off, n), e, wopts,
+                    factor_fn=factor_fn))
+            carry, _ = wsegs[n_sw](carry, wkey, done,
+                                   jnp.asarray(ends[done: done + n_sw]))
             jax.block_until_ready(carry.state.m)
-            done += seg
+            done += n_sw
         mass, info = jax.jit(A.warmup_finalize)(carry)
         opts = dataclasses.replace(opts, dt=float(info.dt))
         init_state = carry.state

@@ -104,6 +104,10 @@ def parse_startup(path) -> tuple[HMCConfig, str, str]:
                 cfg.amortize = toks[-1].lower() in ("1", "true", "yes", "on")
             elif "warmuppool:" in line:  # extension: warmup alpha pooling
                 cfg.warmup_pool = toks[-1].lower()
+                if cfg.warmup_pool not in ("mean", "median"):
+                    raise ValueError(
+                        f"warmuppool must be 'mean' or 'median', got "
+                        f"{cfg.warmup_pool!r} ({path})")
     cfg.sig_fix = tuple(sig_fix)
     if datafile is None or modelfile is None:
         raise ValueError(f"startup file {path} must name datafile: and modelfile:")

@@ -49,3 +49,32 @@ def full_jacobian(problem, m):
     """Dense J (n_real_data x n_param) via reverse-mode rows — the
     sensitivity-test entry point (compJacMat.jl)."""
     return jax.jacrev(lambda mm: real_predict(problem, mm))(m)
+
+
+def full_jacobian_chunked(problem, m, chunk: int = 128):
+    """Dense J (n_real_data x n_param) as a sequence of short device
+    programs: ONE linearisation (forward sweep + stored factorisation), then
+    the pullback vmapped over ``chunk``-row slabs of the identity — each slab
+    is one batched multi-RHS adjoint sweep reusing the shared factors, the
+    TPU analogue of the reference's nAC-column pseudo-forward solves
+    (compJacMat.jl:210-222).  Chunking bounds both device-program length
+    (watchdog-limited runtimes) and the transient solve batch.
+
+    Returns a host numpy array; used by the Gauss-Newton mass matrix.
+    """
+    import numpy as np
+
+    f = lambda mm: real_predict(problem, mm)
+    y, pull = jax.vjp(f, m)
+    n = int(y.shape[0])
+    pull_slab = jax.jit(jax.vmap(lambda e: pull(e)[0]))
+    rows = []
+    for i in range(0, n, chunk):
+        k = min(chunk, n - i)
+        # fixed-size slab (pad the tail) so one compiled program serves all
+        slab = jnp.zeros((chunk, n), y.dtype).at[
+            jnp.arange(chunk), jnp.minimum(i + jnp.arange(chunk), n - 1)
+        ].set(1.0)
+        out = np.asarray(pull_slab(slab))
+        rows.append(out[:k])
+    return np.concatenate(rows, axis=0)

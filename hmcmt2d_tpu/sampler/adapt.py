@@ -48,7 +48,8 @@ class WarmupOptions:
     # pin single chains at alpha=0 (a solver-accuracy cliff, COPROD2 round
     # 4); with mean pooling two stuck chains of 8 drag alpha_mean below the
     # target forever and dt death-spirals to ~1e-14, freezing ALL chains.
-    # (Not available on the sharded pmean path — mean is used there.)
+    # On the sharded path the chains axis is all_gather'd (it is small) and
+    # the median taken over the global chain set on every shard.
     alpha_pool: str = "mean"
 
 
@@ -163,9 +164,13 @@ def warmup_scan(potential_vg: Callable, opts: HMCOptions, m_ref,
         return x
 
     def pool_alpha(x):
-        if w.alpha_pool == "median" and pool_axis is None:
-            # robust to a stuck minority (see WarmupOptions.alpha_pool);
-            # the sharded path has no pmedian collective — mean there
+        if w.alpha_pool == "median":
+            # robust to a stuck minority (see WarmupOptions.alpha_pool).
+            # Sharded: there is no pmedian collective, but the chains axis
+            # is small — all_gather the per-chain alphas and take the
+            # median over the GLOBAL chain set (identical on every shard).
+            if pool_axis is not None:
+                x = lax.all_gather(x, pool_axis).reshape(-1)
             return jnp.median(x, axis=0)
         return pool_mean(x)
 

@@ -87,6 +87,10 @@ def _tau_int(seq: np.ndarray, max_lag: int | None = None) -> np.ndarray:
     ``rho_t = 1 - (W - mean_m(s_m^2 rho_{t,m})) / var_plus``
     with Geyer initial-positive + initial-monotone truncation."""
     N, M, P = seq.shape
+    if N < 2:
+        # too short to estimate any autocorrelation: tau=1 (ESS = raw count)
+        # instead of an IndexError on the empty Geyer pair array
+        return np.ones(P)
     x = seq - seq.mean(axis=0, keepdims=True)
     acov = _chain_acov(x) * N / (N - 1)        # acov[0] == s_m^2 (ddof=1)
     W = acov[0].mean(axis=0)                   # (P,)

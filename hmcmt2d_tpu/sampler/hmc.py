@@ -233,8 +233,13 @@ def make_sample_step(potential_vg: Callable, opts: HMCOptions,
                   & jnp.isfinite(prop.grad).all(axis=-1)
                   & jnp.isfinite(prop.m).all(axis=-1))
         accept = finite & ((dh > 0) | (u < jnp.exp(dh)))
-        # acceptance probability, used by dual-averaging step-size adaptation
-        alpha = jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0)))
+        # acceptance probability, used by dual-averaging step-size adaptation.
+        # A force-rejected non-finite proposal must report alpha=0 too: dh
+        # alone can look optimistic (finite h1, NaN gradient) and warmup
+        # adaptation would then see phantom acceptance exactly in the
+        # pathological regime the guard targets (round-4 ADVICE).
+        alpha = jnp.where(finite,
+                          jnp.minimum(1.0, jnp.exp(jnp.minimum(dh, 0.0))), 0.0)
 
         def pick(a, b):
             return jnp.where(accept.reshape((c,) + (1,) * (a.ndim - 1)), a, b)

@@ -72,3 +72,14 @@ def test_ess_tail_runs():
     assert t.shape == (2,)
     assert np.all(t > 0.02 * N * C), t
     assert np.all(t < 1.5 * N * C), t
+
+
+def test_short_inputs_do_not_crash():
+    """S<4 inputs used to IndexError inside the Geyer pair array; they must
+    return a defined (tau=1) answer through the public API instead."""
+    x = _ar1(0.5, 3, 2, 2, seed=0)
+    e = np.asarray(D.ess(x))
+    assert e.shape == (2,)
+    assert np.all(np.isfinite(e)) and np.all(e > 0)
+    t = np.asarray(D.ess_tail(x))
+    assert np.all(np.isfinite(t))
