@@ -48,6 +48,12 @@ class HMCConfig:
     # cross-chain pooling of the warmup acceptance statistic: "mean" (Stan)
     # or "median" (robust to a stuck-chain minority; see WarmupOptions)
     warmup_pool: str = "mean"
+    # dense-mass schedule extensions (masstype: gaussnewton): after the
+    # diagonal warmup the driver builds M = J'W^2J + reg*Wm at the pooled
+    # warmed-up model and re-adapts the step size under that fixed metric
+    # for `masswarmup:` iterations starting from `massdt0:`
+    mass_warmup: int = 100
+    mass_dt0: float = 0.2
 
     @property
     def max_steps(self) -> int:
@@ -89,7 +95,11 @@ def parse_startup(path) -> tuple[HMCConfig, str, str]:
             elif "linearsolver:" in line:
                 cfg.linear_solver = toks[-1]
             elif "masstype:" in line:
-                cfg.mass_type = toks[-1]
+                cfg.mass_type = toks[-1].lower()
+            elif "masswarmup:" in line:  # extension: dense-mass dt re-adapt iters
+                cfg.mass_warmup = int(toks[-1])
+            elif "massdt0:" in line:     # extension: dense-mass da restart dt
+                cfg.mass_dt0 = float(toks[-1])
             elif "smoothparameter:" in line:
                 cfg.reg_param = float(toks[-1])
             elif "chains:" in line:      # extension: multi-chain count

@@ -149,8 +149,14 @@ def warmup_keys(key, it_offset: int, n: int):
 def warmup_scan(potential_vg: Callable, opts: HMCOptions, m_ref,
                 carry: WarmupCarry, keys, ends, w: WarmupOptions,
                 pool_axis: str | None = None, sample_dtype=jnp.float32,
-                factor_fn: Callable | None = None):
+                factor_fn: Callable | None = None,
+                fixed_mass: MassMatrix | None = None):
     """One warmup segment: scan over ``len(keys)`` adaptation iterations.
+
+    With ``fixed_mass`` the kernel samples under that (possibly dense) mass
+    matrix and only the step size adapts — the metric-readaptation phase of
+    the Gauss-Newton / Wm mass schedule (pass ``ends`` all-False, the
+    diagonal variance windows are meaningless under a fixed dense metric).
 
     Returns the advanced :class:`WarmupCarry` and the per-iteration output
     stack (models, stats, accepts, pred, lf_steps)."""
@@ -179,7 +185,8 @@ def warmup_scan(potential_vg: Callable, opts: HMCOptions, m_ref,
     def body(carry, inputs):
         state, da, inv_m, acc, alpha_acc = carry
         k, is_end = inputs
-        mass = MassMatrix(sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
+        mass = fixed_mass if fixed_mass is not None else MassMatrix(
+            sqrt_m=lax.rsqrt(inv_m), inv_m=inv_m, diagonal=True)
         new, accept, stats, alpha, L = step(state, k, m_ref, jnp.exp(da.log_eps), mass)
 
         # a diverged trajectory (non-finite dH, e.g. float32 field overflow at
@@ -249,7 +256,8 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
            m_ref: jax.Array, n_warmup: int, key, w: WarmupOptions | None = None,
            pool_axis: str | None = None, sample_dtype=jnp.float32,
            init_state: ChainState | None = None,
-           factor_fn: Callable | None = None):
+           factor_fn: Callable | None = None,
+           fixed_mass: MassMatrix | None = None):
     """Adaptive warmup phase (single scan; see ``warmup_scan`` for the
     segmented building blocks the driver uses on watchdog-limited runtimes).
 
@@ -263,13 +271,16 @@ def warmup(potential_vg: Callable, opts: HMCOptions, m0: jax.Array,
     if init_state is not None:
         carry0 = carry0._replace(state=init_state)
     state0 = carry0.state
-    ends = jnp.asarray(window_schedule(n_warmup, w)) if w.adapt_mass else \
-        jnp.zeros(n_warmup, bool)
+    ends = jnp.asarray(window_schedule(n_warmup, w)) \
+        if (w.adapt_mass and fixed_mass is None) else jnp.zeros(n_warmup, bool)
     keys = warmup_keys(key, 0, n_warmup)
     carry, (models, stats, accepts, pred, lf) = warmup_scan(
         potential_vg, opts, m_ref, carry0, keys, ends, w,
-        pool_axis=pool_axis, sample_dtype=sample_dtype, factor_fn=factor_fn)
+        pool_axis=pool_axis, sample_dtype=sample_dtype, factor_fn=factor_fn,
+        fixed_mass=fixed_mass)
     mass, info = warmup_finalize(carry)
+    if fixed_mass is not None:
+        mass = fixed_mass
     start_stats, start_pred = start_row(state0, key, m0.shape, m0.dtype)
     result = HMCResult(models=models, stats=stats, accepts=accepts, pred=pred,
                        final=carry.state, start_stats=start_stats,

@@ -78,11 +78,60 @@ def make_factor_fn(problem: InverseProblem):
     return problem.factor_state
 
 
+def mass_kind(cfg: HMCConfig) -> str:
+    """'diagonal' | 'gn' | 'wm' — the reference treats any non-"diagonal"
+    masstype as M=Wm (setMassMatrix, HMCSampler.jl:478-489); 'gaussnewton'
+    is this build's extension."""
+    mt = cfg.mass_type.lower()
+    if mt == "diagonal":
+        return "diagonal"
+    if mt in ("gaussnewton", "gn"):
+        return "gn"
+    return "wm"
+
+
 def make_mass(problem: InverseProblem, cfg: HMCConfig) -> H.MassMatrix:
-    if cfg.mass_type == "diagonal":
+    kind = mass_kind(cfg)
+    if kind == "diagonal":
         # reference uses identity scaling 1.0 (HMCSampler.jl:81-84)
         return H.identity_mass(problem.n_param)
+    if kind == "gn":
+        raise ValueError("masstype gaussnewton requires adapt: on (the "
+                         "Jacobian is evaluated at the warmed-up model)")
     return H.dense_mass(problem.wm_dense() + 1e-8 * np.eye(problem.n_param))
+
+
+def gauss_newton_mass(problem: InverseProblem, m_repr, reg: float,
+                      jac_problem: InverseProblem | None = None,
+                      chunk: int = 128, jitter: float = 1e-6) -> H.MassMatrix:
+    """Dense HMC mass M = J'W^2J + reg*Wm + jitter*mu*I — the Gauss-Newton
+    approximation of the posterior precision at ``m_repr``.
+
+    The reference exposes only the prior metric M = Wm (HMCSampler.jl:
+    478-489); the GN metric additionally whitens the data-informed
+    directions, so the leapfrog step is O(1) in the standardized posterior
+    instead of being throttled by the stiffest data mode — the mixing lever
+    (ESS/sample) the identity-mass rounds left on the table.  J is one
+    linearisation + chunked batched multi-RHS adjoint solves
+    (models/jacobian.full_jacobian_chunked); the Cholesky runs on host in
+    float64.  ``jac_problem`` lets the hybrid driver evaluate J under the
+    exact (warmup) engine while the returned mass serves the fused main
+    engine — the metric does not need engine-level accuracy, but NaNs in a
+    half-converged fused residual would poison the Cholesky.
+    """
+    from ..models import jacobian as JJ
+
+    pj = jac_problem if jac_problem is not None else problem
+    J = np.asarray(JJ.full_jacobian_chunked(pj, jnp.asarray(m_repr),
+                                            chunk=chunk), np.float64)
+    w = np.asarray(problem.weights, np.float64)
+    if np.iscomplexobj(np.asarray(problem.obs)):
+        w = np.concatenate([w, w])      # re/im rows share the datum weight
+    Jw = J * w[:, None]
+    M = Jw.T @ Jw + reg * np.asarray(problem.wm_dense(), np.float64)
+    mu = np.trace(M) / M.shape[0]
+    M += jitter * mu * np.eye(M.shape[0])
+    return H.dense_mass(M)
 
 
 def hmc_options(cfg: HMCConfig) -> H.HMCOptions:
@@ -228,7 +277,10 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
         n_done = 0
         m_start = H.random_homogeneous_start(key_start, m0_file, n_chains)
         m_ref = m_start  # refModel = strModel (HMCSampler.jl:108-109)
-        mass = make_mass(problem, cfg)
+        # with adaptation on, the warmup (and the dense-metric phase for
+        # non-diagonal masstypes) replaces this initial mass entirely
+        mass = (H.identity_mass(problem.n_param) if cfg.adapt
+                else make_mass(problem, cfg))
         if cfg.adapt:
             # warmup over the burn-in iterations: dual-averaging step size +
             # diagonal mass adaptation, then a fixed-kernel main phase
@@ -292,6 +344,74 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                 start_stats = ss
                 start_pred = to_host(sp)
             opts = dataclasses.replace(opts, dt=float(info.dt))
+            # ---- dense-metric phase: build M (Gauss-Newton or Wm) at the
+            # warmed-up model, then re-adapt the step size under the fixed
+            # dense mass (the identity/diagonal dt is meaningless under a
+            # new metric).  Runs under the warmup engine like phase A.
+            mkind = mass_kind(cfg)
+            if mkind != "diagonal":
+                if sharded_w is not None:
+                    raise NotImplementedError(
+                        "dense masstype on the sharded driver path is not "
+                        "wired yet; run dense-mass inversions single-device "
+                        "(chains batched) or masstype: diagonal sharded")
+                t_m = time.time()
+                m_repr = jnp.mean(state.m, axis=0)
+                if mkind == "gn":
+                    mass = gauss_newton_mass(problem, m_repr, cfg.reg_param,
+                                             jac_problem=problem_w)
+                else:
+                    mass = H.dense_mass(problem.wm_dense()
+                                        + 1e-8 * np.eye(problem.n_param))
+                log(f"dense mass ({mkind}) built in {time.time() - t_m:.1f}s")
+                n_c = min(int(cfg.mass_warmup), max(0, n_samples - n_warm))
+                if n_c > 0:
+                    opts_c = dataclasses.replace(opts, dt=float(cfg.mass_dt0))
+                    wopts_c = dataclasses.replace(wopts, adapt_mass=False)
+                    P = state.m.shape[-1]
+                    zero = jnp.zeros((), state.m.dtype)
+                    carry = A.WarmupCarry(
+                        state=state,
+                        da=A._da_init(jnp.asarray(opts_c.dt, state.m.dtype)),
+                        inv_m=jnp.ones((P,), state.m.dtype),
+                        acc=(zero, jnp.zeros((P,), state.m.dtype),
+                             jnp.zeros((P,), state.m.dtype)),
+                        alpha_acc=(jnp.zeros(()), jnp.zeros(())))
+                    seg_c = checkpoint_every or progress_every or n_c
+                    cseg = {}
+                    done_c = 0
+                    for n_sc in _segment_plan(n_c, seg_c):
+                        t_seg = time.time()
+                        if n_sc not in cseg:
+                            cseg[n_sc] = jax.jit(
+                                lambda c, mref, k, off, sq, im, n=n_sc:
+                                A.warmup_scan(
+                                    vg_w, opts_c, mref, c,
+                                    A.warmup_keys(k, off, n),
+                                    jnp.zeros(n, bool), wopts_c,
+                                    factor_fn=factor_fn_w,
+                                    fixed_mass=H.MassMatrix(sq, im, False)))
+                        carry, (wm, ws, wa, wp, wl) = cseg[n_sc](
+                            carry, m_ref, key_warm, n_warm + done_c,
+                            mass.sqrt_m, mass.inv_m)
+                        jax.block_until_ready(wm)
+                        done_c += n_sc
+                        acc_models.append(np.asarray(wm))
+                        acc_stats.append(np.asarray(ws))
+                        acc_accepts.append(np.asarray(wa))
+                        acc_pred.append(to_host(wp))
+                        acc_lf.append(np.asarray(wl))
+                        log(f"mass-warmup {done_c}/{n_c}: "
+                            f"misfit={float(np.asarray(ws)[-1, :, 0].mean()):.4g} "
+                            f"dt={float(jnp.exp(carry.da.log_eps)):.4g} "
+                            f"({n_sc * wm.shape[1] / (time.time() - t_seg):.2f} "
+                            f"samples/s)")
+                    _m_unused, info_c = jax.jit(A.warmup_finalize)(carry)
+                    state = carry.state
+                    opts = dataclasses.replace(opts, dt=float(info_c.dt))
+                    n_warm += n_c
+                    log(f"mass-warmup done: dt={opts.dt:.4g}, "
+                        f"accept~{float(info_c.alpha_mean):.2f}")
             if hybrid:
                 # engine switch: main phase re-initialises itself (potential
                 # + gradient under the primary engine) at the warmed-up model
