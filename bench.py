@@ -67,7 +67,7 @@ def _realistic(problem_factory):
 
 
 def _build(problem_factory, n_chains, amortize=None, seg=8, method=None,
-           n_warm=0):
+           n_warm=0, gn_mass=False, n_readapt=56):
     """Segmented runner: each device program advances ``seg`` samples and
     returns the carried ChainState — single uninterrupted device programs
     beyond ~60s trip this tunneled runtime's watchdog (the BENCH_r03
@@ -137,6 +137,53 @@ def _build(problem_factory, n_chains, amortize=None, seg=8, method=None,
         opts = dataclasses.replace(opts, dt=float(info.dt))
         init_state = carry.state
 
+        if gn_mass:
+            # PRODUCTION dense metric: Gauss-Newton mass at the warmed-up
+            # model (J under the exact thomas engine — the fused vjp under
+            # a 64-wide vmap is not a validated program on this runtime),
+            # then a segmented dt re-adaptation under the fixed dense mass,
+            # mirroring the driver's masstype: gaussnewton schedule.
+            from hmcmt2d_tpu.sampler.driver import gauss_newton_mass
+
+            fwd_j = make_forward(problem.mesh, problem.fwd.data,
+                                 dataclasses.replace(problem.fwd.cfg,
+                                                     solver_method="thomas"))
+            prob_j = InverseProblem(fwd=fwd_j, obs=problem.obs,
+                                    weights=problem.weights,
+                                    active_idx=problem.active_idx,
+                                    bg_flat=problem.bg_flat)
+            m_repr = jnp.mean(carry.state.m, axis=0)
+            mass = gauss_newton_mass(problem, m_repr, 1.0,
+                                     jac_problem=prob_j, chunk=64)
+            wopts2 = dataclasses.replace(wopts, adapt_mass=False)
+            P = carry.state.m.shape[-1]
+            dt32 = jnp.asarray(0.2, jnp.float32)
+            zero = jnp.zeros((), jnp.float32)
+            carry = A.WarmupCarry(
+                state=carry.state, da=A._da_init(dt32),
+                inv_m=jnp.ones((P,), jnp.float32),
+                acc=(zero, jnp.zeros((P,), jnp.float32),
+                     jnp.zeros((P,), jnp.float32)),
+                alpha_acc=(jnp.zeros(()), jnp.zeros(())))
+            opts2 = dataclasses.replace(opts, dt=0.2)
+            rsegs = {}
+            done2 = 0
+            while done2 < n_readapt:
+                n_sw = min(seg, n_readapt - done2)
+                if n_sw not in rsegs:
+                    rsegs[n_sw] = jax.jit(
+                        lambda c, k, off, sq, im, n=n_sw: A.warmup_scan(
+                            vg, opts2, m_start, c, A.warmup_keys(k, off, n),
+                            jnp.zeros(n, bool), wopts2, factor_fn=factor_fn,
+                            fixed_mass=H.MassMatrix(sq, im, False)))
+                carry, _ = rsegs[n_sw](carry, wkey, n_warm + done2,
+                                       mass.sqrt_m, mass.inv_m)
+                jax.block_until_ready(carry.state.m)
+                done2 += n_sw
+            _m2, info2 = jax.jit(A.warmup_finalize)(carry)
+            opts = dataclasses.replace(opts, dt=float(info2.dt))
+            init_state = carry.state
+
     first = jax.jit(lambda k, off, n=seg: H.run_hmc(
         vg, opts, mass, m_start, m_start, n, k, key_offset=off,
         factor_fn=factor_fn))
@@ -170,13 +217,13 @@ def _build(problem_factory, n_chains, amortize=None, seg=8, method=None,
 
 
 def _measure(problem_factory, n_chains, n_samples, seg=8, method=None,
-             n_warm=0):
+             n_warm=0, gn_mass=False):
     import jax
     import jax.numpy as jnp
 
     seg = min(seg, n_samples)
     problem, run, opts = _build(problem_factory, n_chains, seg=seg,
-                                method=method, n_warm=n_warm)
+                                method=method, n_warm=n_warm, gn_mass=gn_mass)
     # prime both program shapes (first/cont) outside the timed window
     jax.block_until_ready(run(2 * seg, jax.random.PRNGKey(0)).models)
     t0 = time.time()
@@ -188,18 +235,23 @@ def _measure(problem_factory, n_chains, n_samples, seg=8, method=None,
 
 
 def measure_ess(problem_factory, n_chains, n_samples=40, method=None,
-                n_warm=0):
+                n_warm=0, gn_mass=False):
     """Throughput + effective-sample-size + solve-rate accounting.
 
     With ``n_warm`` the sampler runs the adapted production kernel, so
     ``accept_rate`` lands in the working band and the ESS fields measure a
     functioning sampler; ``samples_per_sec`` is simultaneously the engine
     rate (leapfrog work per sample is L~U[6,10] regardless of dt or the MH
-    outcome)."""
+    outcome).  ``gn_mass`` additionally runs the Gauss-Newton dense-metric
+    schedule (the round-5 production kernel), whose ESS/sample is the
+    north-star lever; the ESS window should then be >=1000 samples so the
+    integrated autocorrelation time is resolved rather than truncated
+    (VERDICT r4 weak #6)."""
     from hmcmt2d_tpu.sampler import diagnostics as D
 
     problem, res, dt, opts = _measure(problem_factory, n_chains, n_samples,
-                                      method=method, n_warm=n_warm)
+                                      method=method, n_warm=n_warm,
+                                      gn_mass=gn_mass)
     lf = np.asarray(res.lf_steps)
     nfev = int(lf.sum()) + n_chains          # + init evaluation per chain
     n_freq = problem.fwd.data.n_freq
@@ -207,6 +259,8 @@ def measure_ess(problem_factory, n_chains, n_samples=40, method=None,
     solves = nfev * n_freq * 2
     window = res.models if n_warm else res.models[n_samples // 2:]
     ess = float(np.median(np.asarray(D.ess(window))))
+    ess_200 = (float(np.median(np.asarray(D.ess(window[:200]))))
+               if window.shape[0] >= 400 else None)   # legacy quick field
     # analytic factorisation FLOPs: ceil(L/4)+init factors per iteration,
     # nzi x batched complex inverse (~4 * (8/3) q^3 real mult-adds) each
     q, nzi = problem.mesh.ny - 1, problem.mesh.nz - 1
@@ -216,7 +270,9 @@ def measure_ess(problem_factory, n_chains, n_samples=40, method=None,
         "samples_per_sec": round(n_chains * n_samples / dt, 4),
         "ess_per_sec_per_chip": round(ess / dt, 4),
         "ess_median": round(ess, 2),
+        "ess_median_first200": round(ess_200, 2) if ess_200 else None,
         "ess_window_samples": int(window.shape[0]),
+        "kernel_mass": "gauss-newton" if gn_mass else "adapted-diagonal",
         "solves_per_sec": round(solves / dt, 1),
         "nfevals": nfev,
         "accept_rate": round(float(np.asarray(res.accepts).mean()), 3),
@@ -371,9 +427,21 @@ def main(smoke: bool = False):
     # The PRODUCTION kernel is measured: a 40-iteration segmented warmup
     # adapts (dt, diagonal mass) exactly as `hmcmt2d run` does, then a
     # >=200-sample window is timed (VERDICT r3 #4).
-    stats = measure_ess(factory, base_chains,
-                        n_samples=200 if on_tpu else (4 if smoke else 8),
-                        n_warm=104 if on_tpu else 4)
+    # Round-5 production kernel: Gauss-Newton dense mass + >=1000-sample ESS
+    # window (tau ~ O(10) there, vs ~200-300 at identity mass where a
+    # 200-sample window only bounded it).  Falls back to the round-4
+    # adapted-diagonal measurement if the GN path faults on this runtime.
+    if on_tpu:
+        try:
+            stats = measure_ess(factory, base_chains, n_samples=1008,
+                                n_warm=104, gn_mass=True)
+        except Exception as e:  # device fault mid-GN must not kill the bench
+            stats = measure_ess(factory, base_chains, n_samples=200,
+                                n_warm=104)
+            stats["gn_mass_error"] = repr(e)[:200]
+    else:
+        stats = measure_ess(factory, base_chains,
+                            n_samples=4 if smoke else 8, n_warm=4)
     sweep = {str(base_chains): stats["samples_per_sec"]}
     # the thomas+LU comparison (2.17 samples/s captured this round) and the
     # engine accuracy evidence live in BASELINE.md and
