@@ -65,16 +65,24 @@ def full_jacobian_chunked(problem, m, chunk: int = 128):
     import numpy as np
 
     f = lambda mm: real_predict(problem, mm)
-    y, pull = jax.vjp(f, m)
-    n = int(y.shape[0])
-    pull_slab = jax.jit(jax.vmap(lambda e: pull(e)[0]))
+    n = int(jax.eval_shape(f, m).shape[0])
+
+    # the vjp linearisation must happen INSIDE jit: an eager forward pass
+    # would issue eager complex device ops, which are UNIMPLEMENTED on the
+    # tunneled TPU runtime.  Recomputing it per slab costs one extra
+    # factorisation per chunk — noise next to the chunk's multi-RHS solves.
+    @jax.jit
+    def jac_slab(mm, i0):
+        y, pull = jax.vjp(f, mm)
+        # fixed-size slab (tail rows clamp to the last basis vector and are
+        # sliced off on host) so one compiled program serves all chunks
+        idx = jnp.minimum(i0 + jnp.arange(chunk), n - 1)
+        slab = jnp.zeros((chunk, n), y.dtype).at[
+            jnp.arange(chunk), idx].set(1.0)
+        return jax.vmap(lambda e: pull(e)[0])(slab)
+
     rows = []
     for i in range(0, n, chunk):
-        k = min(chunk, n - i)
-        # fixed-size slab (pad the tail) so one compiled program serves all
-        slab = jnp.zeros((chunk, n), y.dtype).at[
-            jnp.arange(chunk), jnp.minimum(i + jnp.arange(chunk), n - 1)
-        ].set(1.0)
-        out = np.asarray(pull_slab(slab))
-        rows.append(out[:k])
+        out = np.asarray(jac_slab(m, jnp.asarray(i)))
+        rows.append(out[: min(chunk, n - i)])
     return np.concatenate(rows, axis=0)
