@@ -29,6 +29,7 @@ warmup -> segmented/checkpointed main phase unchanged on a device mesh.
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -275,6 +276,78 @@ class ShardedSampler:
             state=_STATE_SPEC,
             da=A._DualAvg(P(), P(), P(), P(), P()),
             inv_m=P(), acc=(P(), P(), P()), alpha_acc=(P(), P()))
+
+    # -- dense-metric step-size re-adaptation -------------------------------
+    def readapt(self, opts: H.HMCOptions, state: H.ChainState, m_ref,
+                n_iters: int, key, wopts: A.WarmupOptions,
+                mass: H.MassMatrix, seg: int = 0, it_offset: int = 0):
+        """dt-only dual-averaging under a FIXED (typically dense
+        Gauss-Newton/Wm) mass, continuing from ``state`` — the sharded
+        equivalent of the driver's dense-metric warmup phase.  ``opts.dt``
+        is the dual-averaging restart step size; ``it_offset`` continues
+        the global warmup key schedule.  Returns (result, state, info)."""
+        import numpy as _np
+
+        carry_spec = self._carry_spec()
+        P_ = m_ref.shape[-1]
+        dt0 = jnp.asarray(opts.dt, jnp.result_type(float))
+        zero = jnp.zeros(())
+        carry = A.WarmupCarry(
+            state=state, da=A._da_init(dt0),
+            inv_m=jnp.ones((P_,)),
+            acc=(zero, jnp.zeros((P_,)), jnp.zeros((P_,))),
+            alpha_acc=(jnp.zeros(()), jnp.zeros(())))
+        wopts = dataclasses.replace(wopts, adapt_mass=False)
+
+        parts = []
+        done = 0
+        seg = seg or n_iters
+        while done < n_iters:
+            n_seg = min(seg, n_iters - done)
+            ck = ("readapt", n_seg, opts, wopts, bool(mass.diagonal))
+            if ck not in self._jitted:
+                diag = bool(mass.diagonal)
+                out_res = (P(None, "chains"), P(None, "chains"),
+                           P(None, "chains"), P(None, "chains", "freq"),
+                           P(None, "chains"))
+
+                @partial(jax.shard_map, mesh=self.mesh,
+                         in_specs=(carry_spec, P("chains"), P("freq"),
+                                   P("freq"), P("freq"), P(), P(),
+                                   (P(), P())),
+                         out_specs=(carry_spec, out_res), check_vma=False)
+                def sharded_readapt(c, mref_l, freqs_l, obs_l, w_l, key, off,
+                                    mass_arrs, n=n_seg):
+                    vg = self._potential_vg(freqs_l, obs_l, w_l)
+                    key_l = self._chain_key(key)
+                    nf_l = freqs_l.shape[0]
+                    mass_l = H.MassMatrix(mass_arrs[0], mass_arrs[1], diag)
+                    c = c._replace(state=c.state._replace(
+                        pred=c.state.pred.reshape(c.state.pred.shape[:-2] + (-1,))))
+                    c, (wm, ws, wa, wp, wl) = A.warmup_scan(
+                        vg, opts, mref_l, c, A.warmup_keys(key_l, off, n),
+                        jnp.zeros(n, bool), wopts, pool_axis="chains",
+                        factor_fn=self._factor_fn(freqs_l),
+                        fixed_mass=mass_l)
+                    split = lambda p: p.reshape(p.shape[:-1] + (nf_l, -1))
+                    c = c._replace(state=c.state._replace(
+                        pred=split(c.state.pred)))
+                    return c, (wm, ws, wa, split(wp), wl)
+
+                self._jitted[ck] = jax.jit(sharded_readapt)
+            carry, out = self._jitted[ck](
+                carry, m_ref, self.freqs, self.obs_cube, self.w_cube, key,
+                jnp.asarray(it_offset + done), (mass.sqrt_m, mass.inv_m))
+            parts.append(out)
+            done += n_seg
+
+        _mass_d, info = jax.jit(A.warmup_finalize)(carry)
+        cat = lambda i: jnp.concatenate([p[i] for p in parts], axis=0)
+        result = H.HMCResult(
+            models=cat(0), stats=cat(1), accepts=cat(2), pred=cat(3),
+            final=carry.state, start_stats=jnp.zeros_like(cat(1)[0]),
+            start_pred=cat(3)[0], lf_steps=cat(4))
+        return self._mask(result), carry.state, info
 
     def _warmup_segmented(self, opts, m0, m_ref, n_warm, key, wopts, seg):
         import numpy as _np

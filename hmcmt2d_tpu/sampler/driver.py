@@ -350,11 +350,6 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             # new metric).  Runs under the warmup engine like phase A.
             mkind = mass_kind(cfg)
             if mkind != "diagonal":
-                if sharded_w is not None:
-                    raise NotImplementedError(
-                        "dense masstype on the sharded driver path is not "
-                        "wired yet; run dense-mass inversions single-device "
-                        "(chains batched) or masstype: diagonal sharded")
                 t_m = time.time()
                 m_repr = jnp.mean(state.m, axis=0)
                 if mkind == "gn":
@@ -365,7 +360,23 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                                         + 1e-8 * np.eye(problem.n_param))
                 log(f"dense mass ({mkind}) built in {time.time() - t_m:.1f}s")
                 n_c = min(int(cfg.mass_warmup), max(0, n_samples - n_warm))
-                if n_c > 0:
+                if n_c > 0 and sharded_w is not None:
+                    opts_c = dataclasses.replace(opts, dt=float(cfg.mass_dt0))
+                    rres, state, info_c = sharded_w.readapt(
+                        opts_c, state, m_ref, n_c, key_warm, wopts, mass,
+                        seg=checkpoint_every or progress_every or 0,
+                        it_offset=n_warm)
+                    jax.block_until_ready(rres.models)
+                    acc_models.append(np.asarray(rres.models))
+                    acc_stats.append(np.asarray(rres.stats))
+                    acc_accepts.append(np.asarray(rres.accepts))
+                    acc_pred.append(to_host(rres.pred))
+                    acc_lf.append(np.asarray(rres.lf_steps))
+                    opts = dataclasses.replace(opts, dt=float(info_c.dt))
+                    n_warm += n_c
+                    log(f"mass-warmup (sharded) done: dt={opts.dt:.4g}, "
+                        f"accept~{float(info_c.alpha_mean):.2f}")
+                elif n_c > 0:
                     opts_c = dataclasses.replace(opts, dt=float(cfg.mass_dt0))
                     wopts_c = dataclasses.replace(wopts, adapt_mass=False)
                     P = state.m.shape[-1]

@@ -248,3 +248,27 @@ def test_sharded_median_alpha_pool_survives_stuck_chain():
     dt_mean = run("mean")
     assert dt_median > 0.05, dt_median                     # healthy adaptation
     assert dt_mean < dt_median / 50, (dt_mean, dt_median)  # the spiral
+
+
+def test_sharded_driver_gn_schedule(tiny_problem_shardable):
+    """Full driver path with masstype gaussnewton over a (2 chains x 2 freq)
+    device mesh: diagonal warmup (SPMD) -> GN mass -> sharded dt re-adaptation
+    under the fixed dense metric -> dense-mass SPMD main phase."""
+    from hmcmt2d_tpu.sampler.driver import run_inversion
+    from tests.test_e2e import tiny_setup
+
+    mesh_, start_sig, data, obs, err = tiny_setup()
+    cfg = HMCConfig(burnin=4, total_samples=14, sig_bounds=(1e-4, 10.0),
+                    dt=0.05, timestep=(2, 3), reg_param=1.0, seed=0,
+                    adapt=True, mass_type="gaussnewton", mass_warmup=4,
+                    mass_dt0=0.2)
+    dm = make_device_mesh(2, 2)
+    run = run_inversion(cfg, mesh_, start_sig, data, obs, err, n_chains=4,
+                        solve_cfg=F.SolveConfig(jnp.complex128, 0),
+                        device_mesh=dm)
+    assert run.n_warm == 8
+    res = run.result
+    S, C, P = res.models.shape
+    assert (S, C) == (14, 4)
+    assert np.isfinite(np.asarray(res.stats)).all()
+    assert float(np.asarray(res.accepts)[8:].mean()) > 0.0
