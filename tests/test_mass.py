@@ -145,3 +145,21 @@ def test_driver_gn_schedule_end_to_end():
         assert not ck["mass"].diagonal
         np.testing.assert_allclose(np.asarray(ck["mass"].sqrt_m),
                                    np.asarray(mass.sqrt_m))
+
+
+def test_driver_gn_hybrid_schedule():
+    """GN schedule with the HYBRID engine switch: phase C must run under the
+    MAIN engine after the switch, and its final state must carry into the
+    main phase (no re-initialisation)."""
+    mesh, start_sig, data, obs, err = tiny_setup()
+    cfg = HMCConfig(burnin=6, total_samples=20, sig_bounds=(1e-4, 10.0),
+                    dt=0.05, timestep=(2, 3), reg_param=1.0, seed=0,
+                    adapt=True, mass_type="gaussnewton", mass_warmup=4,
+                    mass_dt0=0.2)
+    run = run_inversion(cfg, mesh, start_sig, data, obs, err, n_chains=2,
+                        solve_cfg=F.SolveConfig(jnp.complex128, 0),
+                        warmup_solve_cfg=F.SolveConfig(jnp.complex128, 1))
+    res = run.result
+    assert run.n_warm == 10
+    assert res.models.shape[0] == 20
+    assert np.isfinite(np.asarray(res.stats)).all()
