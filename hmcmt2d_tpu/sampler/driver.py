@@ -349,18 +349,24 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
             # dense mass (the identity/diagonal dt is meaningless under a
             # new metric).  Runs under the warmup engine like phase A.
             mkind = mass_kind(cfg)
-            if mkind != "diagonal":
+
+            def _build_dense_mass(m_repr):
                 t_m = time.time()
-                m_repr = jnp.mean(state.m, axis=0)
                 if mkind == "gn":
-                    mass = gauss_newton_mass(problem, m_repr, cfg.reg_param,
-                                             jac_problem=problem_w)
+                    ms = gauss_newton_mass(problem, m_repr, cfg.reg_param,
+                                           jac_problem=problem_w)
                 else:
-                    mass = H.dense_mass(problem.wm_dense()
-                                        + 1e-8 * np.eye(problem.n_param))
+                    ms = H.dense_mass(problem.wm_dense()
+                                      + 1e-8 * np.eye(problem.n_param))
                 log(f"dense mass ({mkind}) built in {time.time() - t_m:.1f}s")
+                return ms
+
+            if mkind != "diagonal" and sharded_w is not None:
+                # sharded dense phase runs under the warmup sampler (pre-
+                # switch); the main phase then re-initialises as usual
+                mass = _build_dense_mass(jnp.mean(state.m, axis=0))
                 n_c = min(int(cfg.mass_warmup), max(0, n_samples - n_warm))
-                if n_c > 0 and sharded_w is not None:
+                if n_c > 0:
                     opts_c = dataclasses.replace(opts, dt=float(cfg.mass_dt0))
                     rres, state, info_c = sharded_w.readapt(
                         opts_c, state, m_ref, n_c, key_warm, wopts, mass,
@@ -376,18 +382,43 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                     n_warm += n_c
                     log(f"mass-warmup (sharded) done: dt={opts.dt:.4g}, "
                         f"accept~{float(info_c.alpha_mean):.2f}")
-                elif n_c > 0:
+            if hybrid:
+                # engine switch BEFORE the dense-metric phase: the step-size
+                # re-adaptation then tunes dt against the actual main-engine
+                # potential near the posterior (where the fused residual
+                # noise is negligible) and its final state carries straight
+                # into the main phase — no re-initialisation, and the dense
+                # phase runs at main-engine speed
+                m_start = state.m
+                state = None
+                log(f"hybrid: warmup engine "
+                    f"{warmup_solve_cfg.solver_method} -> main engine "
+                    f"{problem.fwd.cfg.solver_method}")
+            if mkind != "diagonal" and sharded_w is None:
+                mass = _build_dense_mass(
+                    jnp.mean(m_start if state is None else state.m, axis=0))
+                n_c = min(int(cfg.mass_warmup), max(0, n_samples - n_warm))
+                if n_c > 0:
                     opts_c = dataclasses.replace(opts, dt=float(cfg.mass_dt0))
                     wopts_c = dataclasses.replace(wopts, adapt_mass=False)
-                    P = state.m.shape[-1]
-                    zero = jnp.zeros((), state.m.dtype)
-                    carry = A.WarmupCarry(
-                        state=state,
-                        da=A._da_init(jnp.asarray(opts_c.dt, state.m.dtype)),
-                        inv_m=jnp.ones((P,), state.m.dtype),
-                        acc=(zero, jnp.zeros((P,), state.m.dtype),
-                             jnp.zeros((P,), state.m.dtype)),
-                        alpha_acc=(jnp.zeros(()), jnp.zeros(())))
+                    if state is None:
+                        # fresh main-engine evaluation at the warmed-up model
+                        carry = jax.jit(lambda m0, mref: A.warmup_carry_init(
+                            vg, opts_c, m0, mref))(m_start, m_ref)
+                        carry = carry._replace(
+                            da=A._da_init(jnp.asarray(opts_c.dt,
+                                                      m_start.dtype)))
+                    else:
+                        P = state.m.shape[-1]
+                        zero = jnp.zeros((), state.m.dtype)
+                        carry = A.WarmupCarry(
+                            state=state,
+                            da=A._da_init(jnp.asarray(opts_c.dt,
+                                                      state.m.dtype)),
+                            inv_m=jnp.ones((P,), state.m.dtype),
+                            acc=(zero, jnp.zeros((P,), state.m.dtype),
+                                 jnp.zeros((P,), state.m.dtype)),
+                            alpha_acc=(jnp.zeros(()), jnp.zeros(())))
                     seg_c = checkpoint_every or progress_every or n_c
                     cseg = {}
                     done_c = 0
@@ -397,10 +428,10 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                             cseg[n_sc] = jax.jit(
                                 lambda c, mref, k, off, sq, im, n=n_sc:
                                 A.warmup_scan(
-                                    vg_w, opts_c, mref, c,
+                                    vg, opts_c, mref, c,
                                     A.warmup_keys(k, off, n),
                                     jnp.zeros(n, bool), wopts_c,
-                                    factor_fn=factor_fn_w,
+                                    factor_fn=factor_fn,
                                     fixed_mass=H.MassMatrix(sq, im, False)))
                         carry, (wm, ws, wa, wp, wl) = cseg[n_sc](
                             carry, m_ref, key_warm, n_warm + done_c,
@@ -418,19 +449,11 @@ def run_inversion(cfg: HMCConfig, mesh, sigma2d, data, obs, err,
                             f"({n_sc * wm.shape[1] / (time.time() - t_seg):.2f} "
                             f"samples/s)")
                     _m_unused, info_c = jax.jit(A.warmup_finalize)(carry)
-                    state = carry.state
+                    state = carry.state     # main-engine state: flows on
                     opts = dataclasses.replace(opts, dt=float(info_c.dt))
                     n_warm += n_c
                     log(f"mass-warmup done: dt={opts.dt:.4g}, "
                         f"accept~{float(info_c.alpha_mean):.2f}")
-            if hybrid:
-                # engine switch: main phase re-initialises itself (potential
-                # + gradient under the primary engine) at the warmed-up model
-                m_start = state.m
-                state = None
-                log(f"hybrid: warmup engine "
-                    f"{warmup_solve_cfg.solver_method} -> main engine "
-                    f"{problem.fwd.cfg.solver_method}")
             log(f"warmup {n_warm} iters in {time.time() - t0:.1f}s: adapted "
                 f"dt={opts.dt:.4g}, accept~{float(info.alpha_mean):.2f}, "
                 f"misfit {float(np.asarray(start_stats)[:, 0].mean()):.4g} -> "
