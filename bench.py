@@ -459,8 +459,8 @@ def main(smoke: bool = False):
     # best-effort other counts LAST (the tunneled runtime faults on some
     # larger-batch programs; treat failures as "not measurable")
     if on_tpu:
-        for c in (12,):
-            try:
+        for c in (12, 16):     # >=16 was round 3's ask; q-tight layout may
+            try:               # have cleared the historical 16-chain fault
                 _, res, dt, _o = _measure(factory, c, 16)
                 sweep[str(c)] = round(c * 16 / dt, 4)
             except Exception:
