@@ -259,3 +259,60 @@ def test_median_alpha_pool_survives_stuck_chain():
     dt_mean = run("mean")
     assert dt_median > 0.05, dt_median           # healthy adaptation
     assert dt_mean < dt_median / 50, (dt_mean, dt_median)  # the spiral
+
+
+def test_fixed_mass_warmup_segmentation_bit_exact():
+    """The dense-metric dt re-adaptation must be segmentation-invariant
+    (the driver runs it as watchdog-sized device programs)."""
+    import dataclasses
+
+    import jax
+
+    from hmcmt2d_tpu.sampler import adapt as A
+
+    P, C = 4, 3
+    rng = np.random.default_rng(5)
+    Q = np.linalg.qr(rng.standard_normal((P, P)))[0]
+    prec = Q @ np.diag([1.0, 3.0, 10.0, 30.0]) @ Q.T
+
+    def vg(m, m_ref, fac=None):
+        r = m - m_ref
+        g = jnp.einsum("ab,...b->...a", jnp.asarray(prec), r)
+        U = 0.5 * jnp.sum(r * g, axis=-1)
+        pred = jnp.zeros(m.shape[:-1] + (1,))
+        return (U, (U, jnp.zeros_like(U), pred)), g
+
+    mass = H.dense_mass(prec)
+    opts = H.HMCOptions(dt=0.3, steps_lo=2, steps_hi=3,
+                        log_sig_lo=-50.0, log_sig_hi=50.0, reg_param=1.0)
+    w = A.WarmupOptions(adapt_mass=False)
+    m0 = jnp.zeros((C, P), jnp.float64)
+    key = jax.random.PRNGKey(9)
+    n = 12
+
+    def one_scan():
+        carry0 = A.warmup_carry_init(vg, opts, m0, m0)
+        carry, outs = A.warmup_scan(vg, opts, m0, carry0,
+                                    A.warmup_keys(key, 0, n),
+                                    jnp.zeros(n, bool), w, fixed_mass=mass)
+        return carry, outs
+
+    def segmented(seg):
+        carry = A.warmup_carry_init(vg, opts, m0, m0)
+        outs = []
+        done = 0
+        while done < n:
+            carry, o = A.warmup_scan(vg, opts, m0, carry,
+                                     A.warmup_keys(key, done, seg),
+                                     jnp.zeros(seg, bool), w, fixed_mass=mass)
+            outs.append(o)
+            done += seg
+        cat = lambda i: jnp.concatenate([o[i] for o in outs], axis=0)
+        return carry, tuple(cat(i) for i in range(5))
+
+    c1, o1 = jax.jit(one_scan)()
+    c2, o2 = segmented(4)
+    np.testing.assert_array_equal(np.asarray(o1[0]), np.asarray(o2[0]))
+    np.testing.assert_array_equal(np.asarray(c1.state.m), np.asarray(c2.state.m))
+    np.testing.assert_array_equal(np.asarray(c1.da.log_eps_avg),
+                                  np.asarray(c2.da.log_eps_avg))
