@@ -29,6 +29,12 @@ def main():
     ap.add_argument("startupfile")
     ap.add_argument("outdir")
     ap.add_argument("--status", default="")
+    ap.add_argument("--burn", type=int, default=0,
+                    help="diagnostics burn-in cut (samples incl. warmup); "
+                         "overrides the checkpoint's n_warm when LARGER — "
+                         "use when the post-warmup transient (e.g. a long "
+                         "field-data misfit descent) must not pollute "
+                         "R-hat/ESS/posterior statistics")
     ap.add_argument("--notes", default="")
     ap.add_argument("--platform", default="cpu",
                     help="jax platform (default cpu — NEVER run this next "
@@ -60,7 +66,8 @@ def main():
     S, Cn, P = models.shape
     os.makedirs(args.outdir, exist_ok=True)
 
-    O.write_posterior_models(problem, models, n_warm, args.outdir)
+    n_cut = max(n_warm, args.burn)
+    O.write_posterior_models(problem, models, n_cut, args.outdir)
     for c in range(Cn):
         O.write_chain_outputs(models, stats, accepts, ck["pred"],
                               ck["start_stats"], chain=c, ichain=c + 1,
@@ -73,12 +80,12 @@ def main():
             if os.path.exists(p):
                 os.remove(p)
 
-    post = models[n_warm:]
+    post = models[n_cut:]
     ndata = len(np.asarray(problem.obs))
     misfit = stats[..., 0]                          # (S, C)
-    rhat = np.asarray(D.split_rhat(post)) if S - n_warm >= 4 else None
-    ess = np.asarray(D.ess(post)) if S - n_warm >= 4 else None
-    etail = np.asarray(D.ess_tail(post)) if S - n_warm >= 8 else None
+    rhat = np.asarray(D.split_rhat(post)) if S - n_cut >= 4 else None
+    ess = np.asarray(D.ess(post)) if S - n_cut >= 4 else None
+    etail = np.asarray(D.ess_tail(post)) if S - n_cut >= 8 else None
 
     # posterior-mean fit
     mean_m = post.reshape(-1, P).mean(axis=0)
@@ -92,7 +99,7 @@ def main():
 
     # anomaly-recovery quantification: per-cell z-score of the posterior
     # mean against the homogeneous start model, in posterior-std units
-    mean_full, std_full = O.posterior_mean_std(models, n_warm)
+    mean_full, std_full = O.posterior_mean_std(models, n_cut)
     m_start_log = float(np.median(ck["m_ref"]))
     z = (mean_full - m_start_log) / np.maximum(std_full, 1e-12)
     rho_mean = 1.0 / np.exp(mean_full)
@@ -100,8 +107,9 @@ def main():
     summary = {
         "samples": int(S),
         "warmup": int(n_warm),
+        "diagnostics_burn": int(n_cut),
         "chains": int(Cn),
-        "accept_rate": round(float(accepts[n_warm:].mean()), 3),
+        "accept_rate": round(float(accepts[n_cut:].mean()), 3),
         "misfit_per_datum_start": round(float(np.asarray(ck["start_stats"])[:, 0].mean()) / ndata * 2, 3),
         "misfit_per_datum_end_per_chain": [
             round(float(misfit[-1, c]) / ndata * 2, 3) for c in range(Cn)],
@@ -113,7 +121,7 @@ def main():
         "ess_tail_median": (round(float(np.median(etail)), 1)
                             if etail is not None else None),
         "accept_rate_last_quarter": round(
-            float(accepts[n_warm + 3 * (S - n_warm) // 4:].mean()), 3),
+            float(accepts[n_cut + 3 * (S - n_cut) // 4:].mean()), 3),
         "diagnostics": "rank-normalized split-R-hat (bulk+folded max) and "
                        "bulk/tail ESS, Vehtari et al. 2021 "
                        "(sampler/diagnostics.py)",
