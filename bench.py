@@ -153,8 +153,10 @@ def _build(problem_factory, n_chains, amortize=None, seg=8, method=None,
                                     active_idx=problem.active_idx,
                                     bg_flat=problem.bg_flat)
             m_repr = jnp.mean(carry.state.m, axis=0)
+            # chunk 128 = the production chunk (hardware-validated by the
+            # round-5 runs), so this reuses the driver's compiled jac program
             mass = gauss_newton_mass(problem, m_repr, 1.0,
-                                     jac_problem=prob_j, chunk=64)
+                                     jac_problem=prob_j, chunk=128)
             wopts2 = dataclasses.replace(wopts, adapt_mass=False)
             P = carry.state.m.shape[-1]
             dt32 = jnp.asarray(0.2, jnp.float32)
